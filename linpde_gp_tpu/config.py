@@ -1,0 +1,66 @@
+"""Global configuration for linpde_gp_tpu.
+
+The reference library pins ``jax_enable_x64`` globally (see
+``tests/linpde_gp/conftest.py:1-3`` of the reference).  On TPU, float64 is
+software-emulated and slow, so we make precision a first-class, explicit
+choice instead:
+
+- ``default_dtype`` tracks ``jax_enable_x64``: float64 when enabled (CPU
+  test/verification mode), float32 otherwise (TPU production mode).
+- ``cholesky_jitter`` is an explicit nugget added to Gram diagonals before
+  factorization.  The reference relies on float64 and ``inset=1e-6`` grid
+  hacks instead of a jitter policy; on TPU in float32 an explicit jitter is
+  required for near-singular Grams from smooth kernels.
+- ``quadrature_order`` replaces the reference's adaptive ``scipy.quad``
+  fallback (``linfunctls/_integrals.py:38-57``) with fixed-order
+  Gauss-Legendre panels: static shapes, jittable, TPU-friendly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class _Config:
+    #: Jitter added to the Gram diagonal before Cholesky (absolute).
+    cholesky_jitter: float = 0.0
+
+    #: Number of Gauss-Legendre nodes per panel for quadrature fallbacks.
+    quadrature_order: int = 64
+
+    #: Number of quadrature panels per integration domain.
+    quadrature_panels: int = 4
+
+    #: Use blockwise (incremental) triangular solves where possible.
+    #: Mirrors the reference's ``block_triangular_solves`` probnum config
+    #: flag (``linops/_block.py:8-14``).
+    block_triangular_solves: bool = True
+
+    #: Tile size used by the Pallas Gram assembly kernels.
+    gram_tile: int = 256
+
+    #: Minimum problem size (rows * cols) before the Pallas Gram path is
+    #: preferred over plain broadcast evaluation.
+    pallas_gram_threshold: int = 1 << 22
+
+    @property
+    def default_dtype(self) -> jnp.dtype:
+        return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+    def set(self, **kwargs):
+        for key, value in kwargs.items():
+            if not hasattr(self, key):
+                raise AttributeError(f"Unknown config key: {key}")
+            setattr(self, key, value)
+
+
+config = _Config()
+
+
+def use_x64(enable: bool = True) -> None:
+    """Enable float64 globally (CPU verification mode)."""
+    jax.config.update("jax_enable_x64", enable)

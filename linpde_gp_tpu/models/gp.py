@@ -1,0 +1,336 @@
+"""Gaussian-process inference engine.
+
+Parity: reference ``randprocs/_gaussian_process/_conditional.py`` —
+``ConditionalGaussianProcess`` with incremental block-Cholesky
+conditioning (call stack SURVEY.md §3.1/§3.2) — re-architected for TPU:
+
+- The Gram factor is ONE dense HBM-resident lower-triangular matrix,
+  grown by ``chol_extend`` (triangular solve + matmul + small Cholesky,
+  all MXU ops) instead of the reference's nested ``BlockMatrix2x2`` tree.
+- Posterior state ``(chol, residuals, weights)`` is a JAX pytree of
+  arrays; all evaluation paths are jittable closures.
+- Conditioning again NEVER refactorizes the old block (the reference's
+  ``schur_update`` capability, ``linops/_block.py:226-268``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.crosscov.base import (
+    ConcatenatedCrossCovariance,
+    KernelFunctionalCrossCov,
+    apply_functional_to_crosscov,
+)
+from ..ops.functionals.base import LinearFunctional
+from ..ops.functionals.evaluation import _EvaluationFunctional
+from ..ops.kernels.base import CovarianceFunction
+from ..ops.linalg.chol import cho_solve, chol_extend, cholesky, solve_triangular
+from ..ops.linalg.covariance import Covariance
+from ..utils.shapes import size
+from .functions.base import Function
+from .randvars import Constant, Normal, RandomVariable, asrandvar
+
+
+class GaussianProcess:
+    """Prior GP ``u ~ GP(mean, cov)``."""
+
+    def __init__(self, mean: Function, cov: CovarianceFunction):
+        if mean.input_shape != cov.input_shape:
+            raise ValueError("mean/cov input shapes do not match")
+        if mean.output_shape != cov.output_shape_0:
+            raise ValueError("mean/cov output shapes do not match")
+        self._mean = mean
+        self._cov = cov
+
+    @property
+    def mean(self) -> Function:
+        return self._mean
+
+    @property
+    def cov(self) -> CovarianceFunction:
+        return self._cov
+
+    @property
+    def input_shape(self):
+        return self._cov.input_shape
+
+    @property
+    def output_shape(self):
+        return self._cov.output_shape_0
+
+    # ------------------------------------------------------------------
+    def __call__(self, X) -> Normal:
+        """Marginal at points ``X`` (evaluation-functional layout)."""
+        from ..ops.transforms.functionals import apply_functional
+
+        L = _EvaluationFunctional(self.input_shape, self.output_shape, X)
+        return apply_functional(L, self)
+
+    def var(self, x) -> jnp.ndarray:
+        return self._cov(x)
+
+    def std(self, x) -> jnp.ndarray:
+        # Clamp: posterior variances can round to tiny negatives.
+        return jnp.sqrt(jnp.maximum(self.var(x), 0.0))
+
+    def sample(self, key, X, sample_shape=()):
+        return self(X).sample(key, sample_shape)
+
+    def condition_on_observations(self, Y, X=None, *, L=None, b=None):
+        return ConditionalGaussianProcess.from_observations(
+            self, Y, X=X, L=L, b=b
+        )
+
+    # -- preprocessing (reference ``_conditional.py:296-399``) -----------
+    @staticmethod
+    def _preprocess_observations(prior: "GaussianProcess", Y, X, L, b):
+        from ..ops.diffops.linfuncop import LinearFunctionOperator
+        from ..ops.transforms.functionals import apply_functional
+
+        if isinstance(L, LinearFunctional):
+            if X is not None:
+                raise TypeError("If `L` is a LinearFunctional, `X` must be None.")
+        elif isinstance(L, LinearFunctionOperator):
+            if X is None:
+                raise ValueError("`X` is required when `L` is an operator.")
+            L = L.to_linfunctl(X)
+        elif L is None:
+            if X is None:
+                raise ValueError("`X` and `L` cannot both be omitted.")
+            L = _EvaluationFunctional(prior.input_shape, prior.output_shape, X)
+        else:
+            raise TypeError(f"Unsupported observation functional: {L!r}")
+
+        if b is not None:
+            b = asrandvar(b)
+            if not isinstance(b, (Constant, Normal)):
+                raise TypeError("`b` must be Normal or Constant")
+            if tuple(b.shape) != tuple(L.output_shape):
+                raise ValueError(
+                    f"noise shape {b.shape} != functional output {L.output_shape}"
+                )
+
+        # Predictive moments via the rule engine.
+        kLa = apply_functional(L, prior.cov, argnum=1)
+        gram_block = apply_functional_to_crosscov(L, kLa)
+        pred_mean = L.apply_to_function(prior.mean).reshape(-1)
+
+        # Observation vector with the evaluation-functional layout fix
+        # (reference ``_conditional.py:366-388``).
+        Y = jnp.asarray(Y)
+        out_ndim = len(prior.output_shape)
+        if isinstance(L, _EvaluationFunctional) and out_ndim > 0:
+            if Y.shape[-out_ndim:] != prior.output_shape:
+                raise ValueError(
+                    f"Expected Y with trailing shape {prior.output_shape}, "
+                    f"got {Y.shape}"
+                )
+            Y = jnp.moveaxis(
+                Y,
+                tuple(range(Y.ndim - out_ndim, Y.ndim)),
+                tuple(range(out_ndim)),
+            )
+        if tuple(Y.shape) != tuple(L.output_shape):
+            raise ValueError(
+                f"Expected Y of shape {L.output_shape}, got {Y.shape}."
+            )
+        Y = Y.reshape(-1)
+
+        gram = gram_block.matrix
+        if b is not None:
+            pred_mean = pred_mean + b.mean.reshape(-1)
+            gram = gram + b.cov.matrix
+
+        return Y, L, b, kLa, pred_mean, gram
+
+
+class ConditionalGaussianProcess(GaussianProcess):
+    """Posterior GP after conditioning on linear-functional observations."""
+
+    def __init__(
+        self,
+        *,
+        prior: GaussianProcess,
+        Ys,
+        Ls,
+        bs,
+        kLas: ConcatenatedCrossCovariance,
+        chol: jnp.ndarray,
+        residuals: jnp.ndarray,
+        representer_weights: jnp.ndarray,
+    ):
+        self._prior = prior
+        self._Ys = tuple(Ys)
+        self._Ls = tuple(Ls)
+        self._bs = tuple(bs)
+        self._kLas = kLas
+        self._chol = chol
+        self._residuals = residuals
+        self._representer_weights = representer_weights
+        super().__init__(
+            mean=ConditionalMean(prior.mean, kLas, representer_weights),
+            cov=ConditionalCovariance(prior.cov, kLas, chol),
+        )
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_observations(cls, prior, Y, X=None, *, L=None, b=None):
+        Y, L, b, kLa, pred_mean, gram = GaussianProcess._preprocess_observations(
+            prior, Y, X, L, b
+        )
+        chol = cholesky(gram)
+        resid = Y - pred_mean
+        weights = cho_solve(chol, resid)
+        return cls(
+            prior=prior,
+            Ys=(Y,),
+            Ls=(L,),
+            bs=(b,),
+            kLas=ConcatenatedCrossCovariance((kLa,)),
+            chol=chol,
+            residuals=resid,
+            representer_weights=weights,
+        )
+
+    @property
+    def prior(self) -> GaussianProcess:
+        return self._prior
+
+    @property
+    def gram_cholesky(self) -> jnp.ndarray:
+        return self._chol
+
+    @property
+    def representer_weights(self) -> jnp.ndarray:
+        return self._representer_weights
+
+    @property
+    def kLas(self) -> ConcatenatedCrossCovariance:
+        return self._kLas
+
+    def condition_on_observations(self, Y, X=None, *, L=None, b=None):
+        """Incremental conditioning — extends the cached Cholesky factor,
+        never refactorizing the old Gram (reference ``_conditional.py:
+        253-294``)."""
+        Y, L, b, kLa, pred_mean, gram = GaussianProcess._preprocess_observations(
+            self._prior, Y, X, L, b
+        )
+        # Cross-covariance of the new functional with all previous ones.
+        cross = apply_functional_to_crosscov(L, self._kLas).matrix  # (m, n)
+        chol = chol_extend(self._chol, cross.T, gram)
+        resid = jnp.concatenate([self._residuals, Y - pred_mean])
+        weights = cho_solve(chol, resid)
+        return ConditionalGaussianProcess(
+            prior=self._prior,
+            Ys=self._Ys + (Y,),
+            Ls=self._Ls + (L,),
+            bs=self._bs + (b,),
+            kLas=self._kLas.append(kLa),
+            chol=chol,
+            residuals=resid,
+            representer_weights=weights,
+        )
+
+    # ------------------------------------------------------------------
+    def _apply_operator(self, op) -> "ConditionalGaussianProcess":
+        """Operator pushforward ``T(u | obs)`` reusing Gram factor and
+        weights (reference ``_conditional.py:432-450``)."""
+        from ..ops.transforms.dispatch import apply_operator
+
+        new_prior = GaussianProcess(
+            mean=apply_operator(op, self._prior.mean),
+            cov=apply_operator(op, self._prior.cov),
+        )
+        return ConditionalGaussianProcess(
+            prior=new_prior,
+            Ys=self._Ys,
+            Ls=self._Ls,
+            bs=self._bs,
+            kLas=self._kLas.apply_operator(op),
+            chol=self._chol,
+            residuals=self._residuals,
+            representer_weights=self._representer_weights,
+        )
+
+    def var(self, x) -> jnp.ndarray:
+        """Pointwise posterior variance (vmap/shard-friendly)."""
+        x = jnp.asarray(x)
+        u = self._kLas.evaluate(x)  # batch + out + (n,)
+        prior_var = self._prior.cov(x)
+        n = u.shape[-1]
+        q = solve_triangular(self._chol, u.reshape(-1, n).T)
+        update = jnp.sum(q**2, axis=0).reshape(u.shape[:-1])
+        return jnp.maximum(prior_var - update, 0.0)
+
+
+class ConditionalMean(Function):
+    """``m(x) + kLas(x) @ weights`` (reference ``_conditional.py:177-204``)."""
+
+    def __init__(self, prior_mean, kLas, weights):
+        self._prior_mean = prior_mean
+        self._kLas = kLas
+        self._weights = weights
+        super().__init__(prior_mean.input_shape, prior_mean.output_shape)
+
+    def _evaluate(self, x):
+        m = self._prior_mean._evaluate(x)
+        u = self._kLas.evaluate(x)
+        batch = x.shape[: x.ndim - self.input_ndim]
+        m = jnp.broadcast_to(m, batch + self.output_shape)
+        return m + u @ self._weights
+
+
+class ConditionalCovariance(CovarianceFunction):
+    """``k(x0,x1) - kLas(x0) K^{-1} kLas(x1)^T``
+    (reference ``_conditional.py:206-251``)."""
+
+    def __init__(self, prior_cov: CovarianceFunction, kLas, chol):
+        self._prior_cov = prior_cov
+        self._kLas = kLas
+        self._chol = chol
+        super().__init__(
+            prior_cov.input_shape,
+            prior_cov.output_shape_0,
+            prior_cov.output_shape_1,
+        )
+
+    def _evaluate(self, x0, x1):
+        k = self._prior_cov._evaluate(x0, x1)
+        u0 = self._kLas.evaluate(x0)  # batch0 + out0 + (n,)
+        u1 = self._kLas.evaluate(x1)  # batch1 + out1 + (n,)
+        n = u0.shape[-1]
+        v1 = cho_solve(self._chol, u1.reshape(-1, n).T).T.reshape(u1.shape)
+        d0 = self.output_ndim_0
+        d1 = self.output_ndim_1
+        if d0 == 0 and d1 == 0:
+            update = jnp.sum(u0 * v1, axis=-1)
+        else:
+            # Outer product over codomain axes.
+            u0e = u0.reshape(u0.shape[:-1] + (1,) * d1 + (n,))
+            v1e = v1.reshape(
+                v1.shape[: v1.ndim - 1 - d1] + (1,) * d0 + v1.shape[-1 - d1 : -1] + (n,)
+            )
+            update = jnp.sum(u0e * v1e, axis=-1)
+        return k - update
+
+    def matrix(self, X0, X1=None):
+        K = self._prior_cov.matrix(X0, X1)
+        disc0 = _EvaluationFunctional(
+            self.input_shape, self.output_shape_0, X0
+        )
+        u0 = apply_functional_to_crosscov(disc0, self._kLas).matrix
+        if X1 is None:
+            u1 = u0
+        else:
+            disc1 = _EvaluationFunctional(
+                self.input_shape, self.output_shape_1, X1
+            )
+            u1 = apply_functional_to_crosscov(disc1, self._kLas).matrix
+        q0 = solve_triangular(self._chol, u0.T)
+        q1 = q0 if X1 is None else solve_triangular(self._chol, u1.T)
+        return K - q0.T @ q1

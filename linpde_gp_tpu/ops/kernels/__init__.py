@@ -1,0 +1,32 @@
+"""Covariance functions (reference: ``linpde_gp.randprocs.covfuncs``)."""
+
+from .base import CovarianceFunction, StationaryMixin
+from .arithmetic import (
+    ScaledCovarianceFunction,
+    SumCovarianceFunction,
+    ZeroCovarianceFunction,
+)
+from .stationary import ExpQuad, Matern, half_integer_matern_coefficients
+from .tensor_product import TensorProduct
+from .multioutput import (
+    IndependentMultiOutputCovarianceFunction,
+    StackCovarianceFunction,
+)
+
+# Re-export the grid type under the reference's name/location.
+from ...models.domains.grid import TensorProductGrid
+
+__all__ = [
+    "CovarianceFunction",
+    "StationaryMixin",
+    "ScaledCovarianceFunction",
+    "SumCovarianceFunction",
+    "ZeroCovarianceFunction",
+    "ExpQuad",
+    "Matern",
+    "half_integer_matern_coefficients",
+    "TensorProduct",
+    "TensorProductGrid",
+    "IndependentMultiOutputCovarianceFunction",
+    "StackCovarianceFunction",
+]

@@ -3,6 +3,7 @@ inference engine, and PDE problem definitions."""
 
 from . import domains, functions, problems, randvars
 from .gp import ConditionalGaussianProcess, GaussianProcess
+from .parametric import ParametricGaussianProcess
 from .randprocs import DeterministicProcess, asrandproc
 from .randvars import Constant, Normal, RandomVariable, asrandvar
 
@@ -13,6 +14,7 @@ __all__ = [
     "randvars",
     "GaussianProcess",
     "ConditionalGaussianProcess",
+    "ParametricGaussianProcess",
     "DeterministicProcess",
     "asrandproc",
     "Normal",

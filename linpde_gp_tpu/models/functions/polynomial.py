@@ -71,17 +71,27 @@ class Polynomial(Function):
 
     def differentiate(self) -> "Polynomial":
         if self.degree == 0:
-            return type(self)([self._zero()])
-        return type(self)(
+            return self._ring()([self._zero()])
+        return self._ring()(
             [c * k for k, c in enumerate(self._raw_coeffs()[1:], start=1)]
         )
 
     def integrate(self) -> "Polynomial":
-        return type(self)(
+        return self._ring()(
             [self._zero()] + [self._div(c, i + 1) for i, c in enumerate(self._raw_coeffs())]
         )
 
     # -- exactness hooks (overridden by RationalPolynomial) ---------------
+    def _ring(self):
+        """Constructor for arithmetic results.  Subclasses with extra
+        constructor arguments (e.g. analytic PDE solutions) decay to the
+        plain ring type."""
+        return (
+            RationalPolynomial
+            if isinstance(self, RationalPolynomial)
+            else Polynomial
+        )
+
     def _raw_coeffs(self):
         return self._coeffs
 
@@ -99,14 +109,14 @@ class Polynomial(Function):
             a, b = self._raw_coeffs(), other._raw_coeffs()
             n = max(len(a), len(b))
             z = self._zero()
-            return type(self)(
+            return self._ring()(
                 [
                     (a[i] if i < len(a) else z) + (b[i] if i < len(b) else z)
                     for i in range(n)
                 ]
             )
         if np.ndim(other) == 0:
-            return self + type(self)([other])
+            return self + self._ring()([other])
         return super().__add__(other)
 
     __radd__ = __add__
@@ -117,11 +127,11 @@ class Polynomial(Function):
         return super().__sub__(other)
 
     def __neg__(self):
-        return type(self)([-c for c in self._raw_coeffs()])
+        return self._ring()([-c for c in self._raw_coeffs()])
 
     def __mul__(self, other):
         if isinstance(other, Monomial):
-            other = type(self)(
+            other = self._ring()(
                 [self._zero()] * other.degree + [self._one()]
             )
         if isinstance(other, Polynomial):
@@ -131,9 +141,9 @@ class Polynomial(Function):
             for i, ai in enumerate(a):
                 for j, bj in enumerate(b):
                     out[i + j] = out[i + j] + ai * bj
-            return type(self)(out)
+            return self._ring()(out)
         if np.ndim(other) == 0:
-            return type(self)([c * other for c in self._raw_coeffs()])
+            return self._ring()([c * other for c in self._raw_coeffs()])
         return NotImplemented
 
     __rmul__ = __mul__
@@ -160,7 +170,7 @@ class Polynomial(Function):
             for j, bj in enumerate(b):
                 r[i + j] = r[i + j] - coeff * bj
             r.pop()
-        return type(self)(q), type(self)(r if r else [z])
+        return self._ring()(q), self._ring()(r if r else [z])
 
     @staticmethod
     def _exact_div(a, b):

@@ -16,6 +16,7 @@ from .lindiffop import (
     Laplacian,
     LinearDifferentialOperator,
     PartialDerivative,
+    ScaledLinearDifferentialOperator,
     SpatialLaplacian,
     TimeDerivative,
     WeightedLaplacian,
@@ -31,6 +32,7 @@ __all__ = [
     "Identity",
     "SelectOutput",
     "LinearDifferentialOperator",
+    "ScaledLinearDifferentialOperator",
     "PartialDerivative",
     "Derivative",
     "TimeDerivative",

@@ -52,13 +52,37 @@ class LinearDifferentialOperator(LinearFunctionOperator):
 
     def __rmul__(self, other):
         if np.ndim(other) == 0:
-            return LinearDifferentialOperator(float(other) * self._coefficients)
+            return ScaledLinearDifferentialOperator(self, float(other))
         return NotImplemented
 
     __mul__ = __rmul__
 
     def __repr__(self):
         return f"{type(self).__name__}({self._coefficients!r})"
+
+
+class ScaledLinearDifferentialOperator(LinearDifferentialOperator):
+    """``alpha * D`` retaining the inner operator's extra structure
+    (e.g. ``weak_form``); reference: ``diffops/_arithmetic.py:10``."""
+
+    def __init__(self, lindiffop: LinearDifferentialOperator, scalar):
+        super().__init__(float(scalar) * lindiffop.coefficients)
+        self._lindiffop = lindiffop
+        self._scalar = float(scalar)
+
+    @property
+    def lindiffop(self) -> LinearDifferentialOperator:
+        return self._lindiffop
+
+    @property
+    def scalar(self) -> float:
+        return self._scalar
+
+    def weak_form(self, test_basis):
+        return self._scalar * self._lindiffop.weak_form(test_basis)
+
+    def __repr__(self):
+        return f"{self._scalar} * {self._lindiffop!r}"
 
 
 class PartialDerivative(LinearDifferentialOperator):

@@ -12,6 +12,13 @@ from .multioutput import (
     IndependentMultiOutputCovarianceFunction,
     StackCovarianceFunction,
 )
+from .wendland import (
+    WendlandCovarianceFunction,
+    WendlandFunction,
+    WendlandPolynomial,
+    pascal_row,
+)
+from .parametric import GalerkinCovarianceFunction, ParametricCovarianceFunction
 
 # Re-export the grid type under the reference's name/location.
 from ...models.domains.grid import TensorProductGrid
@@ -29,4 +36,10 @@ __all__ = [
     "TensorProductGrid",
     "IndependentMultiOutputCovarianceFunction",
     "StackCovarianceFunction",
+    "WendlandCovarianceFunction",
+    "WendlandFunction",
+    "WendlandPolynomial",
+    "pascal_row",
+    "ParametricCovarianceFunction",
+    "GalerkinCovarianceFunction",
 ]

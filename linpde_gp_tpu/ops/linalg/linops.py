@@ -41,6 +41,8 @@ class LinearOperator:
     def __matmul__(self, other):
         if isinstance(other, LinearOperator):
             return Dense(self.todense() @ other.todense())
+        if not isinstance(other, (np.ndarray, jnp.ndarray, list, tuple, float, int)):
+            return NotImplemented  # e.g. LinearFunctional handles __rmatmul__
         other = jnp.asarray(other)
         return self._matmul(other)
 

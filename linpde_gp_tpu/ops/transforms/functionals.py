@@ -90,6 +90,11 @@ def _apply_to_function_symbolic(functional: LinearFunctional, f: Function):
     if isinstance(f, Zero):
         return jnp.zeros(functional.output_shape)
 
+    if isinstance(
+        functional, WeakForm_Laplacian_UnivariateInterpolationBasis
+    ) and isinstance(f, UnivariateLinearInterpolationBasis):
+        return functional.stiffness_matrix(f)
+
     if isinstance(functional, ScaledLinearFunctional):
         return functional.scalar * _apply_to_function_symbolic(
             functional.linfunctl, f

@@ -1,0 +1,18 @@
+"""Multi-device scale-out: mesh-sharded Gram assembly, distributed
+blocked Cholesky/solves, sharded posterior evaluation."""
+
+from .mesh import make_1d_mesh, make_mesh, replicated, row_sharding
+from .gram import sharded_gram
+from .cholesky import distributed_chol_solve, distributed_cholesky
+from .posterior import sharded_posterior_eval
+
+__all__ = [
+    "make_mesh",
+    "make_1d_mesh",
+    "row_sharding",
+    "replicated",
+    "sharded_gram",
+    "distributed_cholesky",
+    "distributed_chol_solve",
+    "sharded_posterior_eval",
+]

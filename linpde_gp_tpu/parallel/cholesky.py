@@ -1,0 +1,203 @@
+"""Distributed blocked Cholesky factorization and triangular solves.
+
+Generalizes the reference's 2x2 symbolic Schur machinery
+(``linops/_block.py:226-268``) from two blocks to P x (n/nb) device
+tiles, per SURVEY.md §2 "parallelism" checklist:
+
+- The Gram is CONTIGUOUSLY ROW-SHARDED over all mesh devices (each holds
+  ``(n/P, n)``).
+- Right-looking blocked factorization: per block-column ``k`` the panel
+  is all-gathered (``jax.lax.all_gather`` over ICI), every device
+  redundantly factorizes the ``nb x nb`` diagonal block (cheap, avoids a
+  broadcast round-trip), computes its rows of the panel, and applies the
+  trailing GEMM update to its local rows only.  Communication per step is
+  ``n * nb`` — total ``n^2`` over the factorization, riding ICI.
+- Triangular solves use the same layout with ``psum``-broadcast of each
+  solved block.
+
+All shapes are static (full-width masked updates instead of shrinking
+trailing slices — a factor <=2 of extra FLOPs in exchange for a single
+compiled XLA program with no dynamic shapes).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import config
+
+
+def _flat_axes(mesh: Mesh):
+    return tuple(mesh.axis_names)
+
+
+def distributed_cholesky(
+    gram: jnp.ndarray, *, mesh: Mesh, block_size: int = 512, jitter: float | None = None
+) -> jnp.ndarray:
+    """Lower Cholesky factor of an SPD matrix, row-sharded over ``mesh``.
+
+    ``gram``: ``(n, n)`` with ``n`` divisible by ``P * block_size`` where
+    ``P`` is the total device count (pad upstream if needed).
+    """
+    n = gram.shape[0]
+    num_devices = mesh.devices.size
+    nb = block_size
+    assert n % (num_devices * nb) == 0, (
+        f"n={n} must be divisible by P*nb={num_devices * nb}"
+    )
+    nblocks = n // nb
+    rows_per_dev = n // num_devices
+    if jitter is None:
+        jitter = config.cholesky_jitter
+    axes = _flat_axes(mesh)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=P(axes, None),
+        out_specs=P(axes, None),
+    )
+    def factorize(a_loc):
+        # Device coordinates -> linear index over all mesh axes.
+        dev = jax.lax.axis_index(axes)
+        my_first_row = dev * rows_per_dev
+        local_rows = jax.lax.broadcasted_iota(
+            jnp.int32, (rows_per_dev, 1), 0
+        )[:, 0] + my_first_row  # global row ids of local rows
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)[0]
+
+        if jitter:
+            local_diag = a_loc[jnp.arange(rows_per_dev), local_rows]
+            diag_scale = jax.lax.pmean(jnp.mean(local_diag), axes)
+            eye_loc = (col_ids[None, :] == local_rows[:, None]).astype(a_loc.dtype)
+            a_loc = a_loc + (jitter * diag_scale) * eye_loc
+
+        def step(k, a_loc):
+            kb = (k * nb).astype(jnp.int32) if hasattr(k, 'astype') else jnp.int32(k * nb)
+            # Local slice of the panel (column block k).
+            c_loc = jax.lax.dynamic_slice(
+                a_loc, (jnp.int32(0), kb), (rows_per_dev, nb)
+            )
+            # Gather the full panel on every device: (n, nb).
+            c_full = jax.lax.all_gather(c_loc, axes, axis=0, tiled=True)
+            d_blk = jax.lax.dynamic_slice(c_full, (kb, jnp.int32(0)), (nb, nb))
+            d_blk = 0.5 * (d_blk + d_blk.T)
+            l_d = jnp.linalg.cholesky(d_blk)
+            # Panel rows: L[:, k] = C @ L_d^{-T}; valid for rows >= kb.
+            l_loc = jax.lax.linalg.triangular_solve(
+                l_d, c_loc, left_side=False, lower=True, transpose_a=True
+            )
+            row_mask = (local_rows >= kb)[:, None]
+            in_diag = (local_rows >= kb) & (local_rows < kb + nb)
+            l_loc = jnp.where(row_mask, l_loc, 0.0)
+            # Diagonal-block rows come from L_d (strict upper zeroed).
+            local_diag_rows = jnp.clip(local_rows - kb, 0, nb - 1)
+            blk_cols = jax.lax.broadcasted_iota(jnp.int32, (rows_per_dev, nb), 1)
+            tri_mask = blk_cols <= local_diag_rows[:, None]
+            l_loc = jnp.where(
+                in_diag[:, None], jnp.where(tri_mask, l_loc, 0.0), l_loc
+            )
+            # Write the panel into A.
+            a_loc = jax.lax.dynamic_update_slice(a_loc, l_loc, (jnp.int32(0), kb))
+            # Trailing update on columns > k (masked, static width):
+            # A -= L_panel_local @ L_panel_full^T restricted to trailing cols.
+            l_full = jax.lax.all_gather(l_loc, axes, axis=0, tiled=True)
+            update = l_loc @ l_full.T  # (rows_per_dev, n)
+            trailing = (col_ids >= kb + nb)[None, :]
+            a_loc = a_loc - jnp.where(trailing, update, 0.0)
+            return a_loc
+
+        a_loc = jax.lax.fori_loop(0, nblocks, step, a_loc)
+        # Zero any remaining strictly-upper garbage.
+        upper = col_ids[None, :] > local_rows[:, None]
+        return jnp.where(upper, 0.0, a_loc)
+
+    return factorize(gram)
+
+
+def distributed_chol_solve(
+    chol: jnp.ndarray, rhs: jnp.ndarray, *, mesh: Mesh, block_size: int = 512
+) -> jnp.ndarray:
+    """Solve ``(L L^T) x = rhs`` with ``L`` row-sharded over ``mesh``.
+
+    ``rhs``: ``(n,)`` replicated.  Returns replicated ``x``.
+    Blocked forward/backward substitution with ``psum`` broadcasts.
+    """
+    n = chol.shape[0]
+    num_devices = mesh.devices.size
+    nb = block_size
+    nblocks = n // nb
+    rows_per_dev = n // num_devices
+    axes = _flat_axes(mesh)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axes, None), P(None,)),
+        out_specs=P(None,),
+    )
+    def solve(l_loc, r):
+        r = r.reshape(n)
+        dev = jax.lax.axis_index(axes)
+        my_first_row = dev * rows_per_dev
+        local_rows = jax.lax.broadcasted_iota(
+            jnp.int32, (rows_per_dev, 1), 0
+        )[:, 0] + my_first_row
+
+        def extract_block(kb):
+            """(nb, nb) diagonal block of L at block kb, on every device."""
+            local_off = jnp.clip(kb - my_first_row, 0, rows_per_dev - nb)
+            rows = jax.lax.dynamic_slice(
+                l_loc, (local_off, kb), (nb, nb)
+            )
+            owner = (kb >= my_first_row) & (kb < my_first_row + rows_per_dev)
+            return jax.lax.psum(
+                jnp.where(owner, rows, 0.0), axes
+            )
+
+        # Forward: L y = r.
+        def fwd_step(k, y):
+            kb = jnp.int32(k * nb)
+            l_kk = extract_block(kb)
+            # s = (L[k-block rows, :] @ y): row-block k lives on its owner;
+            # compute locally and psum-broadcast.
+            local_off = jnp.clip(kb - my_first_row, 0, rows_per_dev - nb)
+            l_rows = jax.lax.dynamic_slice(
+                l_loc, (local_off, jnp.int32(0)), (nb, n)
+            )
+            owner = (kb >= my_first_row) & (kb < my_first_row + rows_per_dev)
+            s = jax.lax.psum(jnp.where(owner, l_rows @ y, 0.0), axes)
+            r_k = jax.lax.dynamic_slice(r, (kb,), (nb,))
+            y_k = jax.lax.linalg.triangular_solve(
+                l_kk, (r_k - s)[:, None], left_side=True, lower=True
+            )[:, 0]
+            return jax.lax.dynamic_update_slice(y, y_k, (kb,))
+
+        y = jax.lax.fori_loop(0, nblocks, fwd_step, jnp.zeros_like(r))
+
+        # Backward: L^T x = y.  Column block k of L is row-distributed:
+        # each device contributes L_loc[:, k-block]^T @ x_local_rows.
+        def bwd_step(i, x):
+            kb = jnp.int32((nblocks - 1 - i) * nb)
+            l_kk = extract_block(kb)
+            l_col = jax.lax.dynamic_slice(l_loc, (jnp.int32(0), kb), (rows_per_dev, nb))
+            x_local = jax.lax.dynamic_slice(
+                x, (my_first_row,), (rows_per_dev,)
+            )
+            mask = (local_rows >= kb + nb).astype(x.dtype)
+            s = jax.lax.psum(l_col.T @ (x_local * mask), axes)
+            y_k = jax.lax.dynamic_slice(y, (kb,), (nb,))
+            x_k = jax.lax.linalg.triangular_solve(
+                l_kk, (y_k - s)[:, None], left_side=True, lower=True,
+                transpose_a=True,
+            )[:, 0]
+            return jax.lax.dynamic_update_slice(x, x_k, (kb,))
+
+        x = jax.lax.fori_loop(0, nblocks, bwd_step, jnp.zeros_like(r))
+        return x.reshape(rhs.shape)
+
+    return solve(chol, rhs)

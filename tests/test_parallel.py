@@ -1,0 +1,128 @@
+"""Multi-device tests on a virtual 8-device CPU mesh: sharded paths must
+match the single-device dense paths (the reference's KeOps-vs-dense
+toggle test is the template, SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import linpde_gp_tpu as lgt
+from linpde_gp_tpu.ops.linalg import cho_solve, cholesky
+from linpde_gp_tpu.parallel import (
+    distributed_chol_solve,
+    distributed_cholesky,
+    make_mesh,
+    sharded_gram,
+    sharded_posterior_eval,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+rng = np.random.default_rng(11)
+
+
+def test_sharded_gram_matches_dense():
+    mesh = make_mesh(8)
+    k = 2.0**2 * lgt.kernels.Matern((), nu=2.5, lengthscales=0.7)
+    from linpde_gp_tpu.ops.transforms import apply_operator_to_kernel
+    from linpde_gp_tpu.ops import diffops
+
+    kk = apply_operator_to_kernel(
+        diffops.Derivative(2),
+        apply_operator_to_kernel(diffops.Derivative(2), k, argnum=1),
+        argnum=0,
+    )
+    X0 = rng.uniform(-1, 1, 64)
+    X1 = rng.uniform(-1, 1, 32)
+    G = sharded_gram(kk, X0, X1, mesh=mesh)
+    dense = kk.matrix(jnp.asarray(X0), jnp.asarray(X1))
+    np.testing.assert_allclose(np.asarray(G), np.asarray(dense), atol=1e-12)
+
+
+def test_distributed_cholesky_matches_dense():
+    mesh = make_mesh(8)
+    n, nb = 128, 16
+    A = rng.standard_normal((n, n))
+    K = A @ A.T + n * np.eye(n)
+    L = distributed_cholesky(jnp.asarray(K), mesh=mesh, block_size=nb)
+    L_ref = np.linalg.cholesky(K)
+    np.testing.assert_allclose(np.asarray(L), L_ref, atol=1e-8)
+
+    rhs = rng.standard_normal(n)
+    x = distributed_chol_solve(jnp.asarray(L), jnp.asarray(rhs), mesh=mesh, block_size=nb)
+    np.testing.assert_allclose(np.asarray(K @ np.asarray(x)), rhs, atol=1e-7)
+
+
+def test_end_to_end_sharded_poisson():
+    """Full sharded pipeline: sharded Gram -> distributed Cholesky ->
+    distributed solve -> sharded posterior eval; must match the
+    single-device conditioning engine."""
+    mesh = make_mesh(8)
+    bvp = lgt.problems.PoissonEquationDirichletProblem(
+        domain=lgt.domains.asdomain([-1.0, 1.0]),
+        rhs=lgt.functions.Constant((), 2.0),
+        boundary_values=(0.0, 1.0),
+    )
+    prior = lgt.GaussianProcess(
+        lgt.functions.Zero(()),
+        2.0**2 * lgt.kernels.ExpQuad((), lengthscales=1.0),
+    )
+    n = 128
+    X_pde = bvp.domain.uniform_grid((n,))
+    Y_pde = np.asarray(bvp.pde.rhs(X_pde))
+
+    # Single-device engine.
+    post = prior.condition_on_observations(Y_pde, X=X_pde, L=bvp.pde.diffop)
+
+    # Sharded pipeline on the same observations.
+    from linpde_gp_tpu.ops.transforms import apply_operator_to_kernel
+
+    D = bvp.pde.diffop
+    k_dd = apply_operator_to_kernel(
+        D, apply_operator_to_kernel(D, prior.cov, argnum=1), argnum=0
+    )
+    # Observation noise regularizes the (numerically singular) smooth-
+    # kernel Gram so both paths are well-posed and comparable.
+    noise = 1e-4
+    G = sharded_gram(k_dd, X_pde, mesh=mesh) + noise * jnp.eye(n)
+    L = distributed_cholesky(G, mesh=mesh, block_size=16)
+    w = distributed_chol_solve(L, jnp.asarray(Y_pde), mesh=mesh, block_size=16)
+    dense_gram = k_dd.matrix(jnp.asarray(X_pde)) + noise * jnp.eye(n)
+    w_ref = cho_solve(cholesky(dense_gram, jitter=0.0), jnp.asarray(Y_pde))
+    np.testing.assert_allclose(np.asarray(w), np.asarray(w_ref), rtol=1e-5, atol=1e-7)
+
+    # Sharded posterior evaluation matches direct evaluation.
+    xq = np.linspace(-1, 1, 53)
+    mean_sharded = sharded_posterior_eval(post, xq, mesh=mesh)
+    np.testing.assert_allclose(
+        np.asarray(mean_sharded), np.asarray(post.mean(xq)), atol=1e-10
+    )
+    mean2, std2 = sharded_posterior_eval(post, xq, mesh=mesh, with_std=True)
+    np.testing.assert_allclose(np.asarray(std2), np.asarray(post.std(xq)), atol=1e-10)
+
+
+def test_pallas_gram_interpret_matches_dense():
+    """The Pallas tiled Gram assembler (interpret mode on CPU) must agree
+    with broadcast evaluation."""
+    from linpde_gp_tpu.ops.pallas_gram import kernel_term_specs, pallas_gram
+
+    k = lgt.kernels.TensorProduct(
+        lgt.kernels.Matern((), nu=1.5, lengthscales=2.5),
+        lgt.kernels.Matern((), nu=2.5, lengthscales=2.0),
+    )
+    from linpde_gp_tpu.ops import diffops
+    from linpde_gp_tpu.ops.transforms import apply_operator_to_kernel
+
+    H = diffops.HeatOperator((2,), alpha=0.1)
+    kk = apply_operator_to_kernel(
+        H, apply_operator_to_kernel(H, k, argnum=1), argnum=0
+    )
+    scale, terms = kernel_term_specs(kk)
+    X0 = rng.uniform(-1, 1, (40, 2))
+    X1 = rng.uniform(-1, 1, (70, 2))
+    G = pallas_gram(terms, jnp.asarray(X0), jnp.asarray(X1), interpret=True)
+    dense = kk.matrix(jnp.asarray(X0), jnp.asarray(X1))
+    np.testing.assert_allclose(scale * np.asarray(G), np.asarray(dense), atol=1e-12)

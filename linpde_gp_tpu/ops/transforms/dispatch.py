@@ -222,9 +222,12 @@ def apply_operator_to_kernel(
         )
 
     # -- diffop path: compose with provenance ------------------------------
-    if isinstance(kernel, (SumOfProductsKernel, AutodiffTransformedKernel)) and (
-        kernel.base is not None
-    ):
+    from .radial import RadialMaternDerivativeKernel
+
+    if isinstance(
+        kernel,
+        (SumOfProductsKernel, AutodiffTransformedKernel, RadialMaternDerivativeKernel),
+    ) and (kernel.base is not None):
         base = kernel.base
         c0, c1 = kernel.coeffs0, kernel.coeffs1
         if argnum == 0:

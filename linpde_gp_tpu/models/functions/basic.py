@@ -130,6 +130,22 @@ class Piecewise(Function):
 
     __rmul__ = __mul__
 
+    def __add__(self, other):
+        # Piecewise + polynomial/constant stays piecewise (needed for
+        # exact piecewise-polynomial PDE right-hand sides, reference
+        # ``functions/_piecewise.py:102-131``).
+        from .polynomial import Polynomial
+
+        if isinstance(other, Constant):
+            other = Polynomial((float(np.asarray(other.value)),))
+        if np.ndim(other) == 0 and not isinstance(other, Function):
+            other = Polynomial((float(other),))
+        if isinstance(other, Polynomial):
+            return Piecewise(self.xs, [p + other for p in self.pieces])
+        return super().__add__(other)
+
+    __radd__ = __add__
+
     @staticmethod
     def _scaled(piecewise, scalar):
         return Piecewise(piecewise.xs, [scalar * p for p in piecewise.pieces])

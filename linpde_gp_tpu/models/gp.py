@@ -72,7 +72,10 @@ class GaussianProcess:
         return apply_functional(L, self)
 
     def var(self, x) -> jnp.ndarray:
-        return self._cov(x)
+        k = self._cov(x)
+        if self._cov.output_ndim_0 == 1 and self._cov.output_ndim_1 == 1:
+            k = jnp.diagonal(k, axis1=-2, axis2=-1)
+        return k
 
     def std(self, x) -> jnp.ndarray:
         # Clamp: posterior variances can round to tiny negatives.
@@ -261,7 +264,7 @@ class ConditionalGaussianProcess(GaussianProcess):
         """Pointwise posterior variance (vmap/shard-friendly)."""
         x = jnp.asarray(x)
         u = self._kLas.evaluate(x)  # batch + out + (n,)
-        prior_var = self._prior.cov(x)
+        prior_var = self._prior.var(x)
         n = u.shape[-1]
         q = solve_triangular(self._chol, u.reshape(-1, n).T)
         update = jnp.sum(q**2, axis=0).reshape(u.shape[:-1])

@@ -45,7 +45,9 @@ def interval_quadrature(a: float, b: float, order: int, panels: int):
 class LebesgueIntegral(LinearFunctional):
     r"""``f ↦ ∫_domain f(x) dx``."""
 
-    def __init__(self, domain, codomain_shape=()) -> None:
+    def __init__(self, domain=None, codomain_shape=(), *, input_domain=None) -> None:
+        if domain is None:
+            domain = input_domain  # reference keyword (``input_domain=``)
         self._domain: Domain = asdomain(domain)
         super().__init__(
             (self._domain.shape, codomain_shape),

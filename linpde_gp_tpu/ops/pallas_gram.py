@@ -51,7 +51,9 @@ def _eval_factor_tile(kind, scale, poly, parity, prefactor, d):
 
 
 def _tile_kernel_body(terms: Sequence[TermSpec], ndims: int, x0_ref, x1_ref, out_ref):
-    # x0_ref: (T0, d), x1_ref: (T1, d) in VMEM; out_ref: (T0, T1).
+    # x0_ref/x1_ref: (d, T, 128) in VMEM with the coordinate in lane 0
+    # (slicing lane 0 is free; any other lane index stalls the Mosaic
+    # compiler with a cross-lane extract).  out_ref: (T0, T1).
     acc = None
     # Memoize per-dimension factor evaluations shared across terms.
     cache = {}
@@ -59,7 +61,7 @@ def _tile_kernel_body(terms: Sequence[TermSpec], ndims: int, x0_ref, x1_ref, out
     def factor_val(i, spec):
         key = (i, spec)
         if key not in cache:
-            d = x0_ref[:, i][:, None] - x1_ref[:, i][None, :]
+            d = x0_ref[i, :, 0][:, None] - x1_ref[i, :, 0][None, :]
             cache[key] = _eval_factor_tile(*spec, d)
         return cache[key]
 
@@ -78,7 +80,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 @functools.lru_cache(maxsize=None)
-def _build_pallas_gram(terms, ndims, n0p, n1p, tile0, tile1, dtype_name, interpret):
+def _build_pallas_gram(terms, ndims, n0p, n1p, tile0, tile1, dp, dtype_name, interpret):
     from jax.experimental import pallas as pl
 
     dtype = jnp.dtype(dtype_name)
@@ -90,8 +92,8 @@ def _build_pallas_gram(terms, ndims, n0p, n1p, tile0, tile1, dtype_name, interpr
         out_shape=jax.ShapeDtypeStruct((n0p, n1p), dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tile0, ndims), lambda i, j: (i, 0)),
-            pl.BlockSpec((tile1, ndims), lambda i, j: (j, 0)),
+            pl.BlockSpec((ndims, tile0, 128), lambda i, j: (0, i, 0)),
+            pl.BlockSpec((ndims, tile1, 128), lambda i, j: (0, j, 0)),
         ],
         out_specs=pl.BlockSpec((tile0, tile1), lambda i, j: (i, j)),
         interpret=interpret,
@@ -120,15 +122,19 @@ def pallas_gram(terms, X0: jnp.ndarray, X1: jnp.ndarray, *, interpret: bool | No
     tile1 = min(config.gram_tile, _round_up(n1, 128))
     n0p = _round_up(n0, tile0)
     n1p = _round_up(n1, tile1)
-    if n0p != n0:
-        X0 = jnp.concatenate([X0, jnp.zeros((n0p - n0, d), X0.dtype)], axis=0)
-    if n1p != n1:
-        X1 = jnp.concatenate([X1, jnp.zeros((n1p - n1, d), X1.dtype)], axis=0)
+    # Layout: (d, n, 128) with the coordinate in lane 0 — lane-0 slices
+    # are free on TPU while any other lane index stalls the Mosaic
+    # compiler.  X is tiny next to the (n0, n1) output, so the 128x
+    # inflation of the point arrays is negligible HBM traffic.
+    X0p = jnp.zeros((d, n0p, 128), dtype)
+    X0p = X0p.at[:, :n0, 0].set(X0.astype(dtype).T)
+    X1p = jnp.zeros((d, n1p, 128), dtype)
+    X1p = X1p.at[:, :n1, 0].set(X1.astype(dtype).T)
 
     fn = _build_pallas_gram(
-        terms, d, n0p, n1p, tile0, tile1, jnp.dtype(dtype).name, interpret
+        terms, d, n0p, n1p, tile0, tile1, 128, jnp.dtype(dtype).name, interpret
     )
-    out = fn(X0.astype(dtype), X1.astype(dtype))
+    out = fn(X0p, X1p)
     return out[:n0, :n1]
 
 

@@ -195,28 +195,39 @@ def apply_operator_to_kernel(
         out1 = kernel.output_shape_1 if argnum == 0 else op.output_codomain_shape
         return ZeroCovarianceFunction(op.output_domain_shape, out0, out1)
 
+    from ..kernels.multioutput import StackCovarianceFunction
+
+    if isinstance(kernel, StackCovarianceFunction):
+        if argnum != kernel.stack_argnum:
+            # Operator acts on the scalar slot: distribute over entries.
+            return StackCovarianceFunction(
+                *(
+                    apply_operator_to_kernel(op, k, argnum=argnum)
+                    for k in kernel.covfuncs
+                ),
+                stack_argnum=kernel.stack_argnum,
+            )
+        if isinstance(op, SelectOutput) and len(op.idx) == 1:
+            return kernel.covfuncs[op.idx[0]]
+        # Decompose structured operators until a SelectOutput reaches the
+        # stacked slot.
+        structured = _decompose_structured_op(op, kernel, argnum)
+        if structured is not None:
+            return structured
+        raise NotImplementedError(
+            "Only SelectOutput can act on the stacked slot of a "
+            "StackCovarianceFunction."
+        )
+
     if isinstance(op, SelectOutput):
         return _select_output_kernel(op, kernel, argnum)
 
     # -- operator structure ------------------------------------------------
     coeffs = as_coefficients(op)
     if coeffs is None:
-        if isinstance(op, ScaledLinearFunctionOperator):
-            return ScaledCovarianceFunction(
-                apply_operator_to_kernel(op.linfuncop, kernel, argnum=argnum),
-                op.scalar,
-            )
-        if isinstance(op, SumLinearFunctionOperator):
-            return SumCovarianceFunction(
-                *(
-                    apply_operator_to_kernel(s, kernel, argnum=argnum)
-                    for s in op.summands
-                )
-            )
-        if isinstance(op, CompositeLinearFunctionOperator):
-            for sub in reversed(op.linfuncops):
-                kernel = apply_operator_to_kernel(sub, kernel, argnum=argnum)
-            return kernel
+        structured = _decompose_structured_op(op, kernel, argnum)
+        if structured is not None:
+            return structured
         raise NotImplementedError(
             f"Cannot apply {type(op).__name__} to a kernel."
         )
@@ -252,6 +263,31 @@ def apply_operator_to_kernel(
     return AutodiffTransformedKernel(base, c0, c1)
 
 
+def _decompose_structured_op(
+    op: LinearFunctionOperator, kernel: CovarianceFunction, argnum: int
+):
+    """Unfold Scaled/Sum/Composite operator structure, recursing into
+    ``apply_operator_to_kernel``; ``None`` if ``op`` is elementary."""
+    if isinstance(op, ScaledLinearFunctionOperator):
+        return ScaledCovarianceFunction(
+            apply_operator_to_kernel(op.linfuncop, kernel, argnum=argnum),
+            op.scalar,
+        )
+    if isinstance(op, SumLinearFunctionOperator):
+        return SumCovarianceFunction(
+            *(
+                apply_operator_to_kernel(s, kernel, argnum=argnum)
+                for s in op.summands
+            )
+        )
+    if isinstance(op, CompositeLinearFunctionOperator):
+        out = kernel
+        for sub in reversed(op.linfuncops):
+            out = apply_operator_to_kernel(sub, out, argnum=argnum)
+        return out
+    return None
+
+
 def _select_output_kernel(op: SelectOutput, kernel: CovarianceFunction, argnum: int):
     from ..kernels.multioutput import (
         IndependentMultiOutputCovarianceFunction,
@@ -265,11 +301,17 @@ def _select_output_kernel(op: SelectOutput, kernel: CovarianceFunction, argnum: 
         )
         if other_shape == ():
             return kernel.covfuncs[idx[0]]
-        # Keep the other slot multi-output: diagonal structure means only
-        # the matching component is nonzero.
-        return _SelectedOutputKernel(kernel, idx, argnum)
-    if isinstance(kernel, StackCovarianceFunction) and len(idx) == 1:
-        return kernel.covfuncs[idx[0]] if argnum == kernel.stack_argnum else _SelectedOutputKernel(kernel, idx, argnum)
+        # Diagonal structure: selecting component i on one slot leaves a
+        # stacked kernel whose only nonzero entry is k_i at position i —
+        # further operators then hit the scalar component closed forms.
+        m = len(kernel.covfuncs)
+        entries = [
+            kernel.covfuncs[idx[0]]
+            if j == idx[0]
+            else ZeroCovarianceFunction(kernel.input_shape)
+            for j in range(m)
+        ]
+        return StackCovarianceFunction(*entries, stack_argnum=1 - argnum)
     return _SelectedOutputKernel(kernel, idx, argnum)
 
 

@@ -138,13 +138,15 @@ def test_second_application_composes_coefficients():
 
 def test_fallback_never_errors():
     """Missing closed forms must fall back to autodiff, never raise
-    (reference behavior, ``diffops/_registry.py:15-28``)."""
-    k = lgt.kernels.Matern((2,), nu=2.5, lengthscales=1.0)  # isotropic 2-D
+    (reference behavior, ``diffops/_registry.py:15-28``).  A 4th-order
+    derivative of Matérn(3/2) has no valid closed form — the dispatch
+    must still return an evaluable kernel off the diagonal."""
+    k = lgt.kernels.Matern((2,), nu=1.5, lengthscales=1.0)
     L = diffops.Laplacian((2,))
-    kk = apply_operator_to_kernel(L, k, argnum=1)
+    kk = apply_operator_to_kernel(L, apply_operator_to_kernel(L, k, argnum=1), argnum=0)
     assert isinstance(kk, AutodiffTransformedKernel)
     x0 = rng.uniform(-1, 1, (3, 2))
-    x1 = rng.uniform(-1, 1, (3, 2))
+    x1 = rng.uniform(1.5, 2.5, (3, 2))
     vals = np.asarray(kk(x0, x1))
     assert np.all(np.isfinite(vals))
 

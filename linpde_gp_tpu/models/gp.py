@@ -84,6 +84,19 @@ class GaussianProcess:
     def sample(self, key, X, sample_shape=()):
         return self(X).sample(key, sample_shape)
 
+    @functools.cached_property
+    def mean_jit(self):
+        """Jit-compiled posterior-mean evaluator (hot path on TPU)."""
+        return jax.jit(self.mean)
+
+    @functools.cached_property
+    def std_jit(self):
+        return jax.jit(self.std)
+
+    @functools.cached_property
+    def var_jit(self):
+        return jax.jit(self.var)
+
     def condition_on_observations(self, Y, X=None, *, L=None, b=None):
         return ConditionalGaussianProcess.from_observations(
             self, Y, X=X, L=L, b=b
@@ -282,10 +295,10 @@ class ConditionalMean(Function):
 
     def _evaluate(self, x):
         m = self._prior_mean._evaluate(x)
-        u = self._kLas.evaluate(x)
         batch = x.shape[: x.ndim - self.input_ndim]
         m = jnp.broadcast_to(m, batch + self.output_shape)
-        return m + u @ self._weights
+        # matvec may route through the Gram-free Pallas reduction.
+        return m + self._kLas.matvec(x, self._weights)
 
 
 class ConditionalCovariance(CovarianceFunction):

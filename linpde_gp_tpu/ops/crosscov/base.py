@@ -76,6 +76,11 @@ class ProcessVectorCrossCovariance:
     def apply_operator(self, op) -> "ProcessVectorCrossCovariance":
         raise NotImplementedError
 
+    def matvec(self, x, w) -> jnp.ndarray:
+        """``crosscov(x) @ w`` — subclasses may avoid materializing the
+        ``(n_query, randvar_size)`` cross matrix (KeOps-reduction mode)."""
+        return self.evaluate(x) @ w
+
     # -- arithmetic ------------------------------------------------------
     def __add__(self, other):
         if isinstance(other, ProcessVectorCrossCovariance):
@@ -141,6 +146,56 @@ class KernelFunctionalCrossCov(ProcessVectorCrossCovariance):
         new_kernel = apply_operator_to_kernel(op, self._kernel, argnum=proc_slot)
         return KernelFunctionalCrossCov(new_kernel, self._functional, self._argnum)
 
+    def matvec(self, x, w):
+        """Gram-free ``kLa(x) @ w`` via the tiled Pallas matvec when the
+        kernel belongs to the closed-form family (TPU only)."""
+        import jax
+
+        from ...config import config
+        from ..functionals.base import (
+            CompositeLinearFunctional,
+            ScaledLinearFunctional,
+            SumLinearFunctional,
+        )
+
+        functional = self._functional
+        if (
+            jax.default_backend() != "tpu"
+            or self._argnum != 1
+            or self._kernel.output_shape_0 != ()
+            or self._kernel.output_shape_1 != ()
+            or isinstance(
+                functional,
+                (ScaledLinearFunctional, SumLinearFunctional, CompositeLinearFunctional),
+            )
+        ):
+            return super().matvec(x, w)
+        from ..pallas_gram import kernel_term_specs, pallas_gram_matvec
+
+        spec = kernel_term_specs(self._kernel)
+        if spec is None:
+            return super().matvec(x, w)
+        try:
+            disc = functional.discretization()
+        except NotImplementedError:
+            return super().matvec(x, w)
+        x = jnp.asarray(x)
+        in_ndim = self._kernel.input_ndim
+        batch = x.shape[: x.ndim - in_ndim]
+        n_query = 1
+        for s in batch:
+            n_query *= s
+        if n_query * disc.num_points < config.pallas_gram_threshold:
+            return super().matvec(x, w)
+        scale, terms = spec
+        v = w if disc.weights is None else jnp.asarray(disc.weights).T @ w
+        x_flat = x.reshape((n_query, -1))
+        pts = disc.points.reshape((disc.num_points, -1))
+        out = pallas_gram_matvec(terms, x_flat, pts, v)
+        if scale != 1.0:
+            out = scale * out
+        return out.reshape(batch + out.shape[1:] if out.ndim > 1 else batch)
+
 
 class ScaledProcessVectorCrossCovariance(ProcessVectorCrossCovariance):
     def __init__(self, crosscov: ProcessVectorCrossCovariance, scalar):
@@ -163,6 +218,9 @@ class ScaledProcessVectorCrossCovariance(ProcessVectorCrossCovariance):
         return ScaledProcessVectorCrossCovariance(
             self.crosscov.apply_operator(op), self.scalar
         )
+
+    def matvec(self, x, w):
+        return self.scalar * self.crosscov.matvec(x, w)
 
 
 class SumProcessVectorCrossCovariance(ProcessVectorCrossCovariance):
@@ -194,6 +252,13 @@ class SumProcessVectorCrossCovariance(ProcessVectorCrossCovariance):
             *(s.apply_operator(op) for s in self.summands)
         )
 
+    def matvec(self, x, w):
+        out = None
+        for s in self.summands:
+            term = s.matvec(x, w)
+            out = term if out is None else out + term
+        return out
+
 
 class LinOpProcessVectorCrossCovariance(ProcessVectorCrossCovariance):
     """``A @ crosscov`` — matrix applied to the randvar axis."""
@@ -219,6 +284,9 @@ class LinOpProcessVectorCrossCovariance(ProcessVectorCrossCovariance):
         return LinOpProcessVectorCrossCovariance(
             self.linop, self.crosscov.apply_operator(op)
         )
+
+    def matvec(self, x, w):
+        return self.crosscov.matvec(x, self.linop.todense().T @ w)
 
 
 class ZeroProcessVectorCrossCovariance(ProcessVectorCrossCovariance):
@@ -273,6 +341,16 @@ class ConcatenatedCrossCovariance(ProcessVectorCrossCovariance):
         return ConcatenatedCrossCovariance(
             tuple(c.apply_operator(op) for c in self.crosscovs)
         )
+
+    def matvec(self, x, w):
+        out = None
+        offset = 0
+        for c in self.crosscovs:
+            w_c = w[offset : offset + c.randvar_size]
+            offset += c.randvar_size
+            term = c.matvec(x, w_c)
+            out = term if out is None else out + term
+        return out
 
 
 # ---------------------------------------------------------------------------

@@ -75,6 +75,23 @@ class LinearOperator:
     def diagonal(self) -> jnp.ndarray:
         return jnp.diagonal(self.todense())
 
+    # -- probnum-parity solve surface (``pn.linops.LinearOperator.solve``
+    #    / ``.inv()`` / ``.cholesky()``, SURVEY.md L1) ------------------
+    def solve(self, b) -> jnp.ndarray:
+        """Solve ``A x = b`` (dense LU; SPD-structured subclasses use
+        Cholesky)."""
+        b = jnp.asarray(b)
+        return jnp.linalg.solve(self.todense(), b)
+
+    def cholesky(self, lower: bool = True) -> jnp.ndarray:
+        from .chol import cholesky as _chol
+
+        chol = _chol(self.todense())
+        return chol if lower else chol.T
+
+    def inv(self) -> "LinearOperator":
+        return Dense(jnp.linalg.inv(self.todense()))
+
 
 class Dense(LinearOperator):
     def __init__(self, array):

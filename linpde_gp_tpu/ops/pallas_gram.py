@@ -138,6 +138,101 @@ def pallas_gram(terms, X0: jnp.ndarray, X1: jnp.ndarray, *, interpret: bool | No
     return out[:n0, :n1]
 
 
+def _matvec_body(terms, ndims, x0_ref, x1_ref, v_ref, out_ref):
+    # Gram-free matvec tile: out[i-tile] += (G tile) @ v[j-tile].
+    # Accumulates across the j grid dimension (KeOps-reduction mode).
+    import jax.experimental.pallas as pl
+
+    j = pl.program_id(1)
+    cache = {}
+
+    def factor_val(i, spec):
+        key = (i, spec)
+        if key not in cache:
+            d = x0_ref[i, :, 0][:, None] - x1_ref[i, :, 0][None, :]
+            cache[key] = _eval_factor_tile(*spec, d)
+        return cache[key]
+
+    acc = None
+    for coeff, factors in terms:
+        term = None
+        for i in range(ndims):
+            val = factor_val(i, factors[i])
+            term = val if term is None else term * val
+        term = coeff * term
+        acc = term if acc is None else acc + term
+    partial = acc @ v_ref[:, :]  # (T0, r)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:, :] = partial
+
+    @pl.when(j > 0)
+    def _():
+        out_ref[:, :] += partial
+
+
+@functools.lru_cache(maxsize=None)
+def _build_pallas_gram_matvec(terms, ndims, n0p, n1p, tile0, tile1, r, dtype_name, interpret):
+    from jax.experimental import pallas as pl
+
+    dtype = jnp.dtype(dtype_name)
+    body = functools.partial(_matvec_body, terms, ndims)
+    grid = (n0p // tile0, n1p // tile1)
+    return pl.pallas_call(
+        body,
+        out_shape=jax.ShapeDtypeStruct((n0p, r), dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((ndims, tile0, 128), lambda i, j: (0, i, 0)),
+            pl.BlockSpec((ndims, tile1, 128), lambda i, j: (0, j, 0)),
+            pl.BlockSpec((tile1, r), lambda i, j: (j, 0)),
+        ],
+        out_specs=pl.BlockSpec((tile0, r), lambda i, j: (i, 0)),
+        interpret=interpret,
+    )
+
+
+def pallas_gram_matvec(terms, X0, X1, v, *, interpret: bool | None = None) -> jnp.ndarray:
+    """``K(X0, X1) @ v`` WITHOUT materializing the Gram — O(n0 * n1)
+    compute, O(n0 + n1) memory.  The TPU equivalent of KeOps' lazy
+    map-reduce (reference consumption sites: SURVEY.md §2 native list).
+
+    ``v``: ``(n1,)`` or ``(n1, r)``.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    X0 = jnp.asarray(X0)
+    X1 = jnp.asarray(X1)
+    if X0.ndim == 1:
+        X0 = X0[:, None]
+    if X1.ndim == 1:
+        X1 = X1[:, None]
+    v = jnp.asarray(v)
+    vector = v.ndim == 1
+    if vector:
+        v = v[:, None]
+    n0, d = X0.shape
+    n1 = X1.shape[0]
+    r = v.shape[1]
+    rp = _round_up(r, 128)
+    dtype = jnp.result_type(X0.dtype, v.dtype)
+
+    tile0 = min(config.gram_tile, _round_up(n0, 8))
+    tile1 = min(config.gram_tile, _round_up(n1, 128))
+    n0p = _round_up(n0, tile0)
+    n1p = _round_up(n1, tile1)
+    X0p = jnp.zeros((d, n0p, 128), dtype).at[:, :n0, 0].set(X0.astype(dtype).T)
+    X1p = jnp.zeros((d, n1p, 128), dtype).at[:, :n1, 0].set(X1.astype(dtype).T)
+    vp = jnp.zeros((n1p, rp), dtype).at[:n1, :r].set(v.astype(dtype))
+
+    fn = _build_pallas_gram_matvec(
+        terms, d, n0p, n1p, tile0, tile1, rp, jnp.dtype(dtype).name, interpret
+    )
+    out = fn(X0p, X1p, vp)[:n0, :r]
+    return out[:, 0] if vector else out
+
+
 def kernel_term_specs(kernel) -> tuple[float, tuple] | None:
     """Extract ``(outer_scale, terms)`` from a kernel if it belongs to the
     sum-of-products closed-form family; ``None`` otherwise."""

@@ -106,3 +106,42 @@ def test_cholesky_auto_jitter_on_singular():
     gram = v @ v.T
     chol = cholesky(gram)
     assert not bool(jnp.isnan(chol).any())
+
+
+def test_linop_solve_surface(rng):
+    from linpde_gp_tpu.ops.linalg import Dense
+
+    K = random_spd(rng, 7)
+    op = Dense(jnp.asarray(K))
+    b = rng.standard_normal(7)
+    np.testing.assert_allclose(np.asarray(K @ np.asarray(op.solve(b))), b, atol=1e-9)
+    L = np.asarray(op.cholesky())
+    np.testing.assert_allclose(L @ L.T, K, atol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray((op.inv() @ jnp.asarray(K))), np.eye(7), atol=1e-8
+    )
+
+
+def test_posterior_checkpoint_roundtrip(rng, tmp_path):
+    import linpde_gp_tpu as lgt
+    from linpde_gp_tpu.utils.serialization import load_posterior, save_posterior
+
+    prior = lgt.GaussianProcess(
+        lgt.functions.Zero(()),
+        2.0**2 * lgt.kernels.Matern((), nu=2.5, lengthscales=0.7),
+    )
+    X = rng.uniform(-1, 1, 6)
+    post = prior.condition_on_observations(np.sin(X), X=X, L=lgt.diffops.Derivative(2))
+    path = tmp_path / "posterior.pkl"
+    save_posterior(path, post)
+    restored = load_posterior(path)
+    xq = np.linspace(-1, 1, 9)
+    np.testing.assert_allclose(
+        np.asarray(restored.mean(xq)), np.asarray(post.mean(xq)), atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(restored.std(xq)), np.asarray(post.std(xq)), atol=1e-12
+    )
+    # Incremental conditioning continues from the restored state.
+    more = restored.condition_on_observations(np.asarray([0.0]), X=np.asarray([0.5]))
+    assert np.isfinite(float(more.mean(np.asarray(0.3))))

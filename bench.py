@@ -134,8 +134,25 @@ def _cpu_baseline(k_hh, n_target, jitter):
     return t_gram * r**2 + t_chol * r**3
 
 
+def _enable_persistent_cache():
+    """Persist compiled executables across bench invocations — remote
+    compiles through the PJRT tunnel can take minutes cold."""
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
+
+
 def main():
     import jax
+
+    _enable_persistent_cache()
 
     import linpde_gp_tpu as lgt
 

@@ -90,13 +90,25 @@ class SumOfProductsKernel(CovarianceFunction):
 
     def _evaluate(self, x0, x1):
         scalar_input = self.input_ndim == 0
+        # Memoize factor evaluations shared across terms (e.g. the heat
+        # operator reuses identity/derivative factors in several terms);
+        # XLA would CSE these, but deduplicating here keeps trace size
+        # and eager dispatch count down.
+        cache: dict = {}
+
+        def factor_val(i, f):
+            key = (i, id(f))
+            if key not in cache:
+                a0 = x0 if scalar_input else x0[..., i]
+                a1 = x1 if scalar_input else x1[..., i]
+                cache[key] = f(a0, a1)
+            return cache[key]
+
         out = None
         for coeff, factors in self._terms:
             term = None
             for i, f in enumerate(factors):
-                a0 = x0 if scalar_input else x0[..., i]
-                a1 = x1 if scalar_input else x1[..., i]
-                val = f(a0, a1)
+                val = factor_val(i, f)
                 term = val if term is None else term * val
             term = coeff * term
             out = term if out is None else out + term

@@ -191,3 +191,31 @@ def test_noise_via_gp_evaluation():
     xq = np.linspace(-1, 1, 9)
     assert np.all(np.isfinite(np.asarray(post.mean(xq))))
     assert np.all(np.isfinite(np.asarray(post.std(xq))))
+
+
+def test_iterative_gram_free_regressor_matches_dense():
+    """CG + gram-free matvec conditioning equals the dense engine
+    (beyond-reference scale path, models/iterative.py)."""
+    from linpde_gp_tpu.models.iterative import IterativeGPRegressor
+    from linpde_gp_tpu.ops import diffops as dops
+
+    prior = lgt.GaussianProcess(
+        lgt.functions.Zero(()),
+        2.0**2 * lgt.kernels.Matern((), nu=2.5, lengthscales=1.0),
+    )
+    D = -1.0 * dops.Laplacian(())
+    X = np.linspace(-1, 1, 120)
+    Y = np.full(120, 2.0)
+    it = IterativeGPRegressor(
+        prior, X, Y, L=D, noise_variance=1e-8, tol=1e-10, maxiter=2000
+    )
+    dense = prior.condition_on_observations(
+        Y, X=X, L=D, b=lgt.Normal(np.zeros(120), 1e-8 * np.eye(120))
+    )
+    xq = np.linspace(-1, 1, 17)
+    np.testing.assert_allclose(
+        np.asarray(it.mean(xq)), np.asarray(dense.mean(xq)), atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(it.var(xq)), np.asarray(dense.var(xq)), atol=1e-8
+    )

@@ -49,11 +49,14 @@ class _RandProcsNamespace:
     """Namespace mirroring ``linpde_gp.randprocs``."""
 
     covfuncs = kernels
+    crosscov = crosscov
 
     from .models.gp import (  # noqa: PLC0415
         ConditionalGaussianProcess,
         GaussianProcess,
     )
+    from .models.iterative import IterativeGPRegressor  # noqa: PLC0415
+    from .models.parametric import ParametricGaussianProcess  # noqa: PLC0415
     from .models.randprocs import DeterministicProcess, asrandproc  # noqa: PLC0415
 
 

@@ -15,6 +15,7 @@ from .basic import (
 )
 from .polynomial import Monomial, Polynomial, RationalPolynomial
 from .fem import UnivariateLinearInterpolationBasis
+from . import bases
 
 __all__ = [
     "Function",
@@ -37,4 +38,5 @@ __all__ = [
     "Polynomial",
     "RationalPolynomial",
     "UnivariateLinearInterpolationBasis",
+    "bases",
 ]

@@ -15,6 +15,8 @@ from .projections import (
     fem_mass_matrix,
 )
 from .weak_forms import WeakForm_Laplacian_UnivariateInterpolationBasis
+from . import projections_ns as projections
+from . import weak_forms
 
 __all__ = [
     "LinearFunctional",
@@ -30,4 +32,6 @@ __all__ = [
     "L2Projection_UnivariateLinearInterpolationBasis",
     "fem_mass_matrix",
     "WeakForm_Laplacian_UnivariateInterpolationBasis",
+    "projections",
+    "weak_forms",
 ]

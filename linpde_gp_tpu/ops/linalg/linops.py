@@ -266,6 +266,49 @@ class BlockDiagonal(LinearOperator):
         return jnp.concatenate([b.diagonal() for b in self.blocks])
 
 
+class SumOperator(LinearOperator):
+    """``A_1 + ... + A_m`` kept structured (e.g. sums of Kronecker
+    products from operator-transformed tensor-product kernels on grids,
+    reference ``covfuncs/linfuncops/diffops/_tensor_product.py:140-156``)."""
+
+    def __init__(self, *summands: "LinearOperator"):
+        flat = []
+        for s in summands:
+            if isinstance(s, SumOperator):
+                flat.extend(s.summands)
+            else:
+                flat.append(aslinop(s))
+        self.summands = flat
+        super().__init__(flat[0].shape, flat[0].dtype)
+
+    def todense(self):
+        out = self.summands[0].todense()
+        for s in self.summands[1:]:
+            out = out + s.todense()
+        return out
+
+    def _matmul(self, x):
+        out = self.summands[0]._matmul(x)
+        for s in self.summands[1:]:
+            out = out + s._matmul(x)
+        return out
+
+    @property
+    def T(self):
+        return SumOperator(*(s.T for s in self.summands))
+
+    def __mul__(self, scalar):
+        return SumOperator(*(s * scalar for s in self.summands))
+
+    __rmul__ = __mul__
+
+    def diagonal(self):
+        out = self.summands[0].diagonal()
+        for s in self.summands[1:]:
+            out = out + s.diagonal()
+        return out
+
+
 class Block(LinearOperator):
     """General block matrix from a 2-D grid of operators (reference:
     ``linops/_block.py:17-82``)."""

@@ -88,6 +88,42 @@ class SumOfProductsKernel(CovarianceFunction):
     def terms(self):
         return self._terms
 
+    def linop(self, X0, X1=None):
+        """Sum-of-Kronecker Gram structure on ``TensorProductGrid``s
+        (reference parity: ``diffops/_tensor_product.py:140-156``)."""
+        from ...models.domains.grid import grid_factors
+        from ..linalg.linops import Dense, Kronecker, SumOperator
+
+        if self.input_ndim == 0:
+            return super().linop(X0, X1)
+        f0 = grid_factors(X0)
+        f1 = grid_factors(X1) if X1 is not None else f0
+        ndims = self.input_shape[0]
+        if f0 is None or f1 is None or len(f0) != ndims or len(f1) != ndims:
+            return super().linop(X0, X1)
+        import jax.numpy as jnp
+
+        factor_gram_cache: dict = {}
+
+        def factor_gram(i, f):
+            key = (i, id(f))
+            if key not in factor_gram_cache:
+                g0 = jnp.asarray(np.asarray(f0[i]))
+                g1 = jnp.asarray(np.asarray(f1[i]))
+                factor_gram_cache[key] = Dense(f(g0[:, None], g1[None, :]))
+            return factor_gram_cache[key]
+
+        term_ops = []
+        for coeff, factors in self._terms:
+            op = None
+            for i, f in enumerate(factors):
+                g = factor_gram(i, f)
+                op = g if op is None else Kronecker(op, g)
+            term_ops.append(op * coeff)
+        if len(term_ops) == 1:
+            return term_ops[0]
+        return SumOperator(*term_ops)
+
     def _evaluate(self, x0, x1):
         scalar_input = self.input_ndim == 0
         # Memoize factor evaluations shared across terms (e.g. the heat

@@ -120,3 +120,26 @@ def test_zero_kernel():
     k = lgt.kernels.ZeroCovarianceFunction(())
     x = rng.uniform(-1, 1, 4)
     np.testing.assert_allclose(np.asarray(k(x, x)), 0.0)
+
+
+def test_transformed_tensor_product_sum_of_kronecker_linop():
+    """Operator-transformed TP kernel Gram on grids factorizes into a sum
+    of Kronecker products (reference ``diffops/_tensor_product.py:140-156``)."""
+    from linpde_gp_tpu.ops.linalg.linops import SumOperator
+    from linpde_gp_tpu.ops.transforms import apply_operator_to_kernel
+
+    kt = lgt.kernels.TensorProduct(
+        lgt.kernels.Matern((), nu=1.5, lengthscales=2.5),
+        lgt.kernels.Matern((), nu=2.5, lengthscales=2.0),
+    )
+    H = lgt.diffops.HeatOperator((2,), alpha=0.1)
+    kk = apply_operator_to_kernel(
+        H, apply_operator_to_kernel(H, kt, argnum=1), argnum=0
+    )
+    grid = lgt.domains.Box([[0.0, 5.0], [-1.0, 1.0]]).uniform_grid((6, 5))
+    op = kk.linop(grid)
+    assert isinstance(op, SumOperator)
+    dense = np.asarray(kk.matrix(jnp.asarray(np.asarray(grid).reshape(-1, 2))))
+    np.testing.assert_allclose(np.asarray(op.todense()), dense, atol=1e-12)
+    v = rng.standard_normal(30)
+    np.testing.assert_allclose(np.asarray(op @ v), dense @ v, atol=1e-12)

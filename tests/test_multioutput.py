@@ -116,3 +116,30 @@ def test_joint_multioutput_inference_end_to_end():
 
     # SelectOutput pushforward shares the Gram factor.
     assert u_post.gram_cholesky is post.gram_cholesky
+
+
+def test_multioutput_posterior_covariance_vs_naive():
+    """Posterior cov with codomain axes matches a hand-rolled joint
+    conditioner (covers the outer-product broadcast path)."""
+    import jax.numpy as jnp
+
+    prior_cov = lgt.kernels.IndependentMultiOutputCovarianceFunction(
+        lgt.kernels.Matern((), nu=2.5, lengthscales=0.7),
+        lgt.kernels.ExpQuad((), lengthscales=0.4),
+    )
+    prior = lgt.GaussianProcess(lgt.functions.Zero((), (2,)), prior_cov)
+    X = np.asarray([-0.5, 0.0, 0.5])
+    Y = np.stack([np.sin(X), np.cos(X)], axis=-1)
+    post = prior.condition_on_observations(Y, X=X)
+
+    K = np.asarray(prior_cov.matrix(jnp.asarray(X)))
+    Kinv = np.linalg.inv(K)
+    xq = np.asarray([0.2, -0.8])
+    cov_eval = np.asarray(post.cov(xq, xq))
+    kqq = np.asarray(prior_cov(jnp.asarray(xq), jnp.asarray(xq)))
+    for b, x in enumerate(xq):
+        kx = np.asarray(
+            prior_cov.matrix(jnp.asarray(np.asarray([x])), jnp.asarray(X))
+        )
+        naive = kqq[b] - kx @ Kinv @ kx.T
+        np.testing.assert_allclose(cov_eval[b], naive, atol=1e-12)

@@ -92,7 +92,8 @@ class Normal(RandomVariable):
 
     @property
     def std(self):
-        return jnp.sqrt(self.var)
+        # Posterior variances can round to tiny negatives.
+        return jnp.sqrt(jnp.maximum(self.var, 0.0))
 
     def sample(self, key, sample_shape=()):
         sample_shape = as_shape(sample_shape)

@@ -390,6 +390,15 @@ def evaluate_crosscov_contraction(
             vals = vals @ functional.linop.todense().T
         return vals
 
+    # Exact closed-form integral crosscovs (reference parity:
+    # ``crosscov/linfunctls/integrals/_matern_lebesgue.py``).
+    from ..transforms.integrals_exact import exact_integral_hooks
+
+    hook = exact_integral_hooks(kernel, functional)
+    if hook is not None:
+        crosscov_fn, _ = hook
+        return crosscov_fn(x)[..., None]
+
     disc = functional.discretization()
     pts = disc.points  # (nq,) + domain
     in_ndim = kernel.input_ndim
@@ -502,6 +511,25 @@ def apply_functional_to_crosscov(
                 mat, functional.output_shape, (crosscov.randvar_size,)
             )
         return inner
+
+    # Exact ``∫∫ k`` Gram entries for matching Matérn integral pairs.
+    if isinstance(crosscov, KernelFunctionalCrossCov):
+        from ..functionals.integrals import LebesgueIntegral
+        from ..transforms.integrals_exact import exact_integral_hooks
+
+        if (
+            isinstance(functional, LebesgueIntegral)
+            and isinstance(crosscov.functional, LebesgueIntegral)
+            and functional.domain == crosscov.functional.domain
+        ):
+            hook = exact_integral_hooks(crosscov.kernel, crosscov.functional)
+            if hook is not None:
+                _, gram_value = hook
+                return Covariance(
+                    jnp.asarray([[gram_value]]),
+                    functional.output_shape,
+                    (1,),
+                )
 
     disc = functional.discretization()
     vals = crosscov.evaluate(disc.points)

@@ -128,3 +128,66 @@ def test_conditioning_multioutput_point_observations():
     post = prior.condition_on_observations(Y, X=X)
     m = np.asarray(post.mean(X))
     np.testing.assert_allclose(m, Y, atol=1e-8)
+
+
+@pytest.mark.parametrize("nu", [0.5, 1.5, 2.5, 3.5])
+def test_exact_matern_integral_vs_quadrature(nu):
+    """Exact antiderivative closed forms vs the Gauss-Legendre fallback
+    AND scipy.quad (reference ``integrals/_matern_lebesgue.py``)."""
+    from linpde_gp_tpu.ops.transforms.integrals_exact import (
+        exact_integral_hooks,
+        matern_double_integral,
+    )
+
+    l = 0.8
+    k = 2.3 * lgt.kernels.Matern((), nu=nu, lengthscales=l)
+    domain = lgt.domains.Interval(-0.7, 1.1)
+    I = LebesgueIntegral(domain)
+    hook = exact_integral_hooks(k, I)
+    assert hook is not None
+    crosscov_fn, gram = hook
+    xs = rng.uniform(-1.5, 1.5, 7)  # includes points outside the domain
+    exact = np.asarray(crosscov_fn(jnp.asarray(xs)))
+    quad = np.asarray(
+        [
+            scipy.integrate.quad(
+                lambda t, x=x: float(k(jnp.asarray(x), jnp.asarray(t))),
+                -0.7,
+                1.1,
+            )[0]
+            for x in xs
+        ]
+    )
+    np.testing.assert_allclose(exact, quad, atol=1e-10)
+
+    dbl = scipy.integrate.dblquad(
+        lambda s, t: float(k(jnp.asarray(s), jnp.asarray(t))),
+        -0.7,
+        1.1,
+        -0.7,
+        1.1,
+    )[0]
+    np.testing.assert_allclose(gram, dbl, rtol=1e-8)
+
+    # The engine routes through the exact path (crosscov + gram).
+    crosscov = apply_functional(I, k, argnum=1)
+    np.testing.assert_allclose(
+        np.asarray(crosscov(jnp.asarray(xs)))[:, 0], exact, atol=1e-12
+    )
+    block = apply_functional_to_crosscov(I, crosscov)
+    np.testing.assert_allclose(float(block.matrix[0, 0]), gram, rtol=1e-12)
+
+
+def test_conditioning_on_exact_integral_observation():
+    """Condition a Matérn GP on an integral observation: the posterior
+    integral must interpolate it exactly."""
+    domain = lgt.domains.Interval(-1.0, 1.0)
+    I = LebesgueIntegral(domain)
+    prior = lgt.GaussianProcess(
+        lgt.functions.Zero(()),
+        lgt.kernels.Matern((), nu=2.5, lengthscales=0.7),
+    )
+    post = prior.condition_on_observations(Y=np.asarray(3.0), L=I)
+    rv = I(post)
+    np.testing.assert_allclose(float(np.asarray(rv.mean)), 3.0, atol=1e-9)
+    assert float(np.asarray(rv.std)) < 1e-5

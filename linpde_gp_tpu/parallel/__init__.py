@@ -5,6 +5,7 @@ from .mesh import make_1d_mesh, make_mesh, replicated, row_sharding
 from .gram import sharded_gram
 from .cholesky import distributed_chol_solve, distributed_cholesky
 from .posterior import sharded_posterior_eval
+from .solve import distributed_condition
 
 __all__ = [
     "make_mesh",
@@ -15,4 +16,5 @@ __all__ = [
     "distributed_cholesky",
     "distributed_chol_solve",
     "sharded_posterior_eval",
+    "distributed_condition",
 ]

@@ -126,3 +126,22 @@ def test_pallas_gram_interpret_matches_dense():
     G = pallas_gram(terms, jnp.asarray(X0), jnp.asarray(X1), interpret=True)
     dense = kk.matrix(jnp.asarray(X0), jnp.asarray(X1))
     np.testing.assert_allclose(scale * np.asarray(G), np.asarray(dense), atol=1e-12)
+
+
+def test_distributed_condition_arbitrary_n():
+    """One-shot distributed conditioning with padding for N not divisible
+    by P * block_size."""
+    from linpde_gp_tpu.parallel import distributed_condition
+
+    mesh = make_mesh(8)
+    k = 2.0**2 * lgt.kernels.Matern((), nu=2.5, lengthscales=0.7)
+    n = 100  # not a multiple of 8 * 8
+    X = np.linspace(-1, 1, n)
+    Y = np.sin(3 * X)
+    noise = 1e-2  # keep the comparison well-conditioned
+    w, chol = distributed_condition(
+        k, X, Y, mesh=mesh, noise_variance=noise, block_size=8
+    )
+    dense = np.asarray(k.matrix(jnp.asarray(X))) + noise * np.eye(n)
+    w_ref = np.linalg.solve(dense, Y)
+    np.testing.assert_allclose(np.asarray(w), w_ref, rtol=1e-8, atol=1e-10)

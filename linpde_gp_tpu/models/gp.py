@@ -23,7 +23,6 @@ import numpy as np
 
 from ..ops.crosscov.base import (
     ConcatenatedCrossCovariance,
-    KernelFunctionalCrossCov,
     apply_functional_to_crosscov,
 )
 from ..ops.functionals.base import LinearFunctional
@@ -31,9 +30,8 @@ from ..ops.functionals.evaluation import _EvaluationFunctional
 from ..ops.kernels.base import CovarianceFunction
 from ..ops.linalg.chol import cho_solve, chol_extend, cholesky, solve_triangular
 from ..ops.linalg.covariance import Covariance
-from ..utils.shapes import size
 from .functions.base import Function
-from .randvars import Constant, Normal, RandomVariable, asrandvar
+from .randvars import Constant, Normal, asrandvar
 
 
 class GaussianProcess:

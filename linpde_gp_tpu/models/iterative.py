@@ -16,14 +16,10 @@ tolerance.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.crosscov.base import KernelFunctionalCrossCov
-from ..ops.functionals.evaluation import _EvaluationFunctional
 from ..ops.pallas_gram import gram_matrix, kernel_term_specs, pallas_gram_matvec
 from ..ops.transforms.dispatch import apply_operator_to_kernel
 from .functions.base import Function, Zero

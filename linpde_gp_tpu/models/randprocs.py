@@ -6,10 +6,7 @@ Parity: reference ``randprocs/_deterministic_process.py:8`` and
 
 from __future__ import annotations
 
-import jax.numpy as jnp
-
 from .functions.base import Function
-from .functions.arithmetic import asfunction
 
 
 class DeterministicProcess:

@@ -18,8 +18,6 @@ refactorizes the old block.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl

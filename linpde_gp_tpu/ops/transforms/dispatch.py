@@ -21,7 +21,6 @@ import numpy as np
 
 from ...models.functions.base import Function
 from ...models.functions.basic import StackedFunction
-from ...models.functions.arithmetic import ScaledFunction, SumFunction
 from ..diffops.coefficients import MultiIndex, PartialDerivativeCoefficients
 from ..diffops.lindiffop import LinearDifferentialOperator
 from ..diffops.linfuncop import (

@@ -20,7 +20,11 @@ def setup(x64: bool | None = None):
     import jax
 
     if x64 is None:
-        x64 = jax.default_backend() != "tpu"
+        env = os.environ.get("LGT_X64")
+        if env is not None:
+            x64 = env not in ("0", "false", "False")
+        else:
+            x64 = jax.default_backend() != "tpu"
     jax.config.update("jax_enable_x64", x64)
     import linpde_gp_tpu as lgt
 

@@ -114,6 +114,29 @@ def apply_diffop_to_function(coeffs: PartialDerivativeCoefficients, f: Function)
             term = coeff * poly
             result = term if result is None else result + term
         return result
+    from ...models.functions.basic import Piecewise
+
+    if (
+        isinstance(f, Piecewise)
+        and coeffs.input_domain_shape == ()
+        and list(coeffs.keys()) == [()]
+        and all(isinstance(p, Polynomial) for p in f.pieces)
+    ):
+        # Exact piecewise-polynomial differentiation (a.e.; the same
+        # convention as the reference's symbolic piecewise rules).
+        new_pieces = None
+        for _, multi_index, coeff in coeffs.items_flat():
+            pieces = []
+            for p in f.pieces:
+                poly = p
+                for _ in range(multi_index.order):
+                    poly = poly.differentiate()
+                pieces.append(coeff * poly)
+            if new_pieces is None:
+                new_pieces = pieces
+            else:
+                new_pieces = [a + b for a, b in zip(new_pieces, pieces)]
+        return Piecewise(f.xs, new_pieces)
     return DiffopFunction(coeffs, f)
 
 

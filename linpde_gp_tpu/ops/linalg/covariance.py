@@ -60,6 +60,13 @@ class Covariance:
         return self._array.reshape(self.size0, self.size1)
 
     @property
+    def linop(self):
+        """Structured-operator view (reference ``Covariance.linop``)."""
+        from .linops import Dense
+
+        return Dense(self.matrix)
+
+    @property
     def T(self) -> "Covariance":
         mat = self.matrix.T.reshape(self._shape1 + self._shape0)
         return Covariance(mat, self._shape1, self._shape0)

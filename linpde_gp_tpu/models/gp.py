@@ -227,6 +227,18 @@ class ConditionalGaussianProcess(GaussianProcess):
     def kLas(self) -> ConcatenatedCrossCovariance:
         return self._kLas
 
+    @property
+    def log_marginal_likelihood(self) -> jnp.ndarray:
+        """``log p(Y | prior)`` of all conditioned observations — the
+        model-evidence surface for hyperparameter selection."""
+        from ..ops.linalg.chol import logdet_from_chol
+
+        n = self._residuals.shape[0]
+        quad = jnp.dot(self._residuals, self._representer_weights)
+        return -0.5 * (
+            quad + logdet_from_chol(self._chol) + n * jnp.log(2.0 * jnp.pi)
+        )
+
     def condition_on_observations(self, Y, X=None, *, L=None, b=None):
         """Incremental conditioning — extends the cached Cholesky factor,
         never refactorizing the old Gram (reference ``_conditional.py:

@@ -219,3 +219,33 @@ def test_iterative_gram_free_regressor_matches_dense():
     np.testing.assert_allclose(
         np.asarray(it.var(xq)), np.asarray(dense.var(xq)), atol=1e-8
     )
+
+
+def test_log_marginal_likelihood_vs_scipy():
+    import scipy.stats
+
+    k = lgt.kernels.Matern((), nu=2.5, lengthscales=0.7)
+    prior = lgt.GaussianProcess(lgt.functions.Zero(()), k)
+    X = rng.uniform(-1, 1, 6)
+    Y = np.sin(2 * X)
+    noise = 0.05**2 * np.eye(6)
+    post = prior.condition_on_observations(Y, X=X, b=lgt.Normal(np.zeros(6), noise))
+    K = np.asarray(k(X[:, None], X[None, :])) + noise
+    expected = scipy.stats.multivariate_normal(np.zeros(6), K).logpdf(Y)
+    np.testing.assert_allclose(
+        float(post.log_marginal_likelihood), expected, rtol=1e-10
+    )
+    # Incremental conditioning accumulates the joint evidence.
+    X2 = rng.uniform(-1, 1, 3)
+    Y2 = np.sin(2 * X2)
+    post2 = post.condition_on_observations(Y2, X=X2)
+    K_joint = np.array(
+        k(np.concatenate([X, X2])[:, None], np.concatenate([X, X2])[None, :])
+    )
+    K_joint[:6, :6] += noise
+    expected2 = scipy.stats.multivariate_normal(
+        np.zeros(9), K_joint, allow_singular=True
+    ).logpdf(np.concatenate([Y, Y2]))
+    np.testing.assert_allclose(
+        float(post2.log_marginal_likelihood), expected2, rtol=1e-8
+    )

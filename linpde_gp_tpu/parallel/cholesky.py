@@ -36,12 +36,22 @@ def _flat_axes(mesh: Mesh):
 
 
 def distributed_cholesky(
-    gram: jnp.ndarray, *, mesh: Mesh, block_size: int = 512, jitter: float | None = None
+    gram: jnp.ndarray,
+    *,
+    mesh: Mesh,
+    block_size: int = 512,
+    jitter: float | None = None,
+    unroll: bool | None = None,
 ) -> jnp.ndarray:
     """Lower Cholesky factor of an SPD matrix, row-sharded over ``mesh``.
 
     ``gram``: ``(n, n)`` with ``n`` divisible by ``P * block_size`` where
     ``P`` is the total device count (pad upstream if needed).
+
+    ``unroll=True`` (default for <= 128 block-columns) unrolls the
+    block loop with STATIC panel offsets: trailing updates become
+    exact-width GEMMs instead of masked full-width ones — half the FLOPs
+    at the cost of a longer compile.
     """
     n = gram.shape[0]
     num_devices = mesh.devices.size
@@ -53,6 +63,8 @@ def distributed_cholesky(
     rows_per_dev = n // num_devices
     if jitter is None:
         jitter = config.cholesky_jitter
+    if unroll is None:
+        unroll = nblocks <= 128
     axes = _flat_axes(mesh)
 
     @functools.partial(
@@ -111,7 +123,41 @@ def distributed_cholesky(
             a_loc = a_loc - jnp.where(trailing, update, 0.0)
             return a_loc
 
-        a_loc = jax.lax.fori_loop(0, nblocks, step, a_loc)
+        def step_static(k, a_loc):
+            """Unrolled variant: ``k`` is a Python int, so every slice is
+            static and the trailing update is an exact-width GEMM."""
+            kb = k * nb
+            c_loc = a_loc[:, kb : kb + nb]
+            c_full = jax.lax.all_gather(c_loc, axes, axis=0, tiled=True)
+            d_blk = c_full[kb : kb + nb, :]
+            d_blk = 0.5 * (d_blk + d_blk.T)
+            l_d = jnp.linalg.cholesky(d_blk)
+            l_loc = jax.lax.linalg.triangular_solve(
+                l_d, c_loc, left_side=False, lower=True, transpose_a=True
+            )
+            row_mask = (local_rows >= kb)[:, None]
+            in_diag = (local_rows >= kb) & (local_rows < kb + nb)
+            l_loc = jnp.where(row_mask, l_loc, 0.0)
+            local_diag_rows = jnp.clip(local_rows - kb, 0, nb - 1)
+            blk_cols = jax.lax.broadcasted_iota(jnp.int32, (rows_per_dev, nb), 1)
+            tri_mask = blk_cols <= local_diag_rows[:, None]
+            l_loc = jnp.where(
+                in_diag[:, None], jnp.where(tri_mask, l_loc, 0.0), l_loc
+            )
+            a_loc = a_loc.at[:, kb : kb + nb].set(l_loc)
+            if kb + nb < n:
+                l_tail = jax.lax.all_gather(
+                    l_loc, axes, axis=0, tiled=True
+                )[kb + nb :, :]
+                update = l_loc @ l_tail.T  # (rows_per_dev, n - kb - nb)
+                a_loc = a_loc.at[:, kb + nb :].add(-update)
+            return a_loc
+
+        if unroll:
+            for k in range(nblocks):
+                a_loc = step_static(k, a_loc)
+        else:
+            a_loc = jax.lax.fori_loop(0, nblocks, step, a_loc)
         # Zero any remaining strictly-upper garbage.
         upper = col_ids[None, :] > local_rows[:, None]
         return jnp.where(upper, 0.0, a_loc)

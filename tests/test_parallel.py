@@ -145,3 +145,13 @@ def test_distributed_condition_arbitrary_n():
     dense = np.asarray(k.matrix(jnp.asarray(X))) + noise * np.eye(n)
     w_ref = np.linalg.solve(dense, Y)
     np.testing.assert_allclose(np.asarray(w), w_ref, rtol=1e-8, atol=1e-10)
+
+
+@pytest.mark.parametrize("unroll", [True, False])
+def test_distributed_cholesky_unroll_variants(unroll):
+    mesh = make_mesh(8)
+    n, nb = 128, 16
+    A = rng.standard_normal((n, n))
+    K = A @ A.T + n * np.eye(n)
+    L = distributed_cholesky(jnp.asarray(K), mesh=mesh, block_size=nb, unroll=unroll)
+    np.testing.assert_allclose(np.asarray(L), np.linalg.cholesky(K), atol=1e-8)

@@ -47,6 +47,15 @@ class _Config:
     #: preferred over plain broadcast evaluation.
     pallas_gram_threshold: int = 1 << 22
 
+    #: Use the JIT-compiled C++/OpenMP host engine (``native/``) for large
+    #: Gram assembly and Gram-free matvecs on the CPU backend — the
+    #: KeOps-equivalent of the reference (SURVEY.md §2 native list).
+    use_native_host_engine: bool = True
+
+    #: Minimum problem size (rows * cols) before the native host engine is
+    #: preferred over broadcast XLA evaluation on CPU.
+    native_gram_threshold: int = 1 << 20
+
     @property
     def default_dtype(self) -> jnp.dtype:
         return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32

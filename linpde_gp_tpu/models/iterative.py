@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.pallas_gram import gram_matrix, kernel_term_specs, pallas_gram_matvec
+from ..ops.pallas_gram import gram_matrix, gram_matvec, kernel_term_specs
 from ..ops.transforms.dispatch import apply_operator_to_kernel
 from .functions.base import Function, Zero
 from .gp import GaussianProcess
@@ -88,11 +88,8 @@ class IterativeGPRegressor:
     # ------------------------------------------------------------------
     def _gram_matvec(self, v: jnp.ndarray) -> jnp.ndarray:
         x = self.X.reshape(self.X.shape[0], -1)
-        if self._obs_spec is not None and jax.default_backend() == "tpu":
-            scale, terms = self._obs_spec
-            out = pallas_gram_matvec(terms, x, x, v)
-            if scale != 1.0:
-                out = scale * out
+        if self._obs_spec is not None:
+            out = gram_matvec(self._obs_spec, x, x, v)
         else:
             out = gram_matrix(self._k_obs, self.X) @ v
         return out + self.noise_variance * v
@@ -116,16 +113,13 @@ class IterativeGPRegressor:
         batch = x.shape[: x.ndim - len(self.prior.input_shape)]
         xq = x.reshape((-1,) + self.prior.input_shape)
         w = self.representer_weights
-        if self._cross_spec is not None and jax.default_backend() == "tpu":
-            scale, terms = self._cross_spec
-            update = pallas_gram_matvec(
-                terms,
+        if self._cross_spec is not None:
+            update = gram_matvec(
+                self._cross_spec,
                 xq.reshape(xq.shape[0], -1),
                 self.X.reshape(self.X.shape[0], -1),
                 w,
             )
-            if scale != 1.0:
-                update = scale * update
         else:
             update = gram_matrix(self._k_cross, xq, self.X) @ w
         m = self.prior.mean(xq).reshape(-1)

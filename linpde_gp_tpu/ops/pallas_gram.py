@@ -294,4 +294,87 @@ def gram_matrix(kernel, X0, X1=None) -> jnp.ndarray:
             x1 = X1.reshape(n1, -1)
             out = pallas_gram(terms, x0, x1)
             return scale * out if scale != 1.0 else out
+    if (
+        kernel.output_shape_0 == ()
+        and kernel.output_shape_1 == ()
+        and config.use_native_host_engine
+        and jax.default_backend() == "cpu"
+        and n0 * n1 >= config.native_gram_threshold
+    ):
+        out = _native_gram(kernel, X0.reshape(n0, -1), X1.reshape(n1, -1))
+        if out is not None:
+            return out
     return kernel.matrix(X0, X1)
+
+
+def _native_gram(kernel, x0, x1):
+    """Host C++/OpenMP Gram assembly (KeOps-equivalent, ``native/``).
+
+    Works under ``jit`` via ``pure_callback``; float64 end-to-end on the
+    host, cast to the caller's dtype on the way back.
+    """
+    from .. import native
+
+    eng = native.engine_for(kernel)
+    if eng is None:
+        return None
+    dtype = jnp.result_type(x0.dtype, x1.dtype)
+    out_shape = jax.ShapeDtypeStruct((x0.shape[0], x1.shape[0]), dtype)
+
+    def _cb(a, b):
+        return eng.gram(np.asarray(a, np.float64), np.asarray(b, np.float64)).astype(dtype)
+
+    return jax.pure_callback(_cb, out_shape, x0, x1, vmap_method="sequential")
+
+
+def gram_matvec(spec, X0, X1, v) -> jnp.ndarray:
+    """Gram-free ``K(X0, X1) @ v`` router for a ``(scale, terms)`` spec:
+    Pallas lazy reduction on TPU, the native C++/OpenMP engine on the
+    host CPU, interpreted Pallas otherwise."""
+    scale, terms = spec
+    if jax.default_backend() != "tpu" and config.use_native_host_engine:
+        from .. import native
+
+        eng = native.engine_for_spec(scale, terms)
+        if eng is not None:
+            X0 = jnp.asarray(X0)
+            v = jnp.asarray(v)
+            dtype = jnp.result_type(X0.dtype, v.dtype)
+            out_shape = jax.ShapeDtypeStruct(X0.shape[:1] + v.shape[1:], dtype)
+
+            def _cb(a, b, w):
+                return eng.matvec(
+                    np.asarray(a, np.float64),
+                    np.asarray(b, np.float64),
+                    np.asarray(w, np.float64),
+                ).astype(dtype)
+
+            return jax.pure_callback(
+                _cb, out_shape, X0, jnp.asarray(X1), v, vmap_method="sequential"
+            )
+        # No host toolchain: dense broadcast evaluation (the pre-native
+        # CPU behavior — O(n0*n1) memory but plain XLA).
+        out = _dense_terms_matvec(terms, jnp.asarray(X0), jnp.asarray(X1), v)
+        return scale * out if scale != 1.0 else out
+    out = pallas_gram_matvec(terms, X0, X1, v)
+    return scale * out if scale != 1.0 else out
+
+
+def _dense_terms_matvec(terms, X0, X1, v):
+    if X0.ndim == 1:
+        X0 = X0[:, None]
+    if X1.ndim == 1:
+        X1 = X1[:, None]
+    d = X0[:, None, :] - X1[None, :, :]
+    acc = None
+    cache = {}
+    for coeff, factors in terms:
+        term = None
+        for i, spec in enumerate(factors):
+            key = (i, spec)
+            if key not in cache:
+                cache[key] = _eval_factor_tile(*spec, d[..., i])
+            term = cache[key] if term is None else term * cache[key]
+        term = coeff * term
+        acc = term if acc is None else acc + term
+    return acc @ v

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.linalg.pcg import landmark_indices, nystrom_preconditioner, pcg
 from ..ops.pallas_gram import gram_matrix, gram_matvec, kernel_term_specs
 from ..ops.transforms.dispatch import apply_operator_to_kernel
 from .functions.base import Function, Zero
@@ -43,6 +44,13 @@ class IterativeGPRegressor:
     noise_variance:
         Homoscedastic observation noise (also the regularizer; must be
         positive for CG conditioning of smooth-kernel Grams).
+    precond_rank:
+        Rank of the Nyström preconditioner (``ops/linalg/pcg.py``).
+        ``"auto"`` picks 0 for small problems and ``min(512, n // 4)``
+        above 1,024 observations; ``0`` disables preconditioning.
+        Smooth-kernel Grams have fast-decaying spectra, so a modest rank
+        collapses the CG iteration count from hundreds to tens at an
+        O(n·m²) one-off matmul cost.
     """
 
     def __init__(
@@ -55,6 +63,7 @@ class IterativeGPRegressor:
         noise_variance: float = 1e-6,
         tol: float = 1e-6,
         maxiter: int = 512,
+        precond_rank: int | str = "auto",
     ):
         if prior.output_shape != ():
             raise ValueError("IterativeGPRegressor supports scalar outputs.")
@@ -83,7 +92,14 @@ class IterativeGPRegressor:
         self._obs_spec = kernel_term_specs(k_obs)
         self._cross_spec = kernel_term_specs(k_cross)
 
+        n = self.X.shape[0]
+        if precond_rank == "auto":
+            precond_rank = min(512, n // 4) if n >= 1024 else 0
+        self.precond_rank = int(precond_rank)
+        self._precond = None
+
         self._weights = None
+        self._solve_info = None
 
     # ------------------------------------------------------------------
     def _gram_matvec(self, v: jnp.ndarray) -> jnp.ndarray:
@@ -94,17 +110,41 @@ class IterativeGPRegressor:
             out = gram_matrix(self._k_obs, self.X) @ v
         return out + self.noise_variance * v
 
+    def _preconditioner(self):
+        """Lazily built Nyström preconditioner (None if rank 0)."""
+        if self.precond_rank <= 0:
+            return None
+        if self._precond is None:
+            idx = landmark_indices(self.X.shape[0], self.precond_rank)
+            Z = self.X[idx]
+            K_XZ = gram_matrix(self._k_obs, self.X, Z)
+            K_ZZ = gram_matrix(self._k_obs, Z, Z)
+            self._precond = nystrom_preconditioner(
+                K_XZ, K_ZZ, self.noise_variance
+            )
+        return self._precond
+
+    def _solve(self, rhs: jnp.ndarray) -> jnp.ndarray:
+        res = pcg(
+            self._gram_matvec,
+            rhs,
+            M=self._preconditioner(),
+            tol=self.tol,
+            maxiter=self.maxiter,
+        )
+        self._solve_info = (int(res.iterations), float(res.relative_residual))
+        return res.x
+
+    @property
+    def solve_info(self):
+        """``(iterations, relative_residual)`` of the most recent solve."""
+        return self._solve_info
+
     @property
     def representer_weights(self) -> jnp.ndarray:
         if self._weights is None:
             resid = self.Y - self._mean_obs(self.X).reshape(-1)
-            w, _ = jax.scipy.sparse.linalg.cg(
-                self._gram_matvec,
-                resid,
-                tol=self.tol,
-                maxiter=self.maxiter,
-            )
-            self._weights = w
+            self._weights = self._solve(resid)
         return self._weights
 
     # ------------------------------------------------------------------
@@ -132,11 +172,12 @@ class IterativeGPRegressor:
         xq = x.reshape((-1,) + self.prior.input_shape)
         kxX = gram_matrix(self._k_cross, xq, self.X)  # (nq, n)
 
+        M = self._preconditioner()
+
         def solve_one(rhs):
-            sol, _ = jax.scipy.sparse.linalg.cg(
-                self._gram_matvec, rhs, tol=self.tol, maxiter=self.maxiter
-            )
-            return sol
+            return pcg(
+                self._gram_matvec, rhs, M=M, tol=self.tol, maxiter=self.maxiter
+            ).x
 
         sols = jax.lax.map(
             solve_one, kxX, batch_size=min(block_size, kxX.shape[0])

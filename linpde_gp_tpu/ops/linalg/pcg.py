@@ -1,0 +1,144 @@
+r"""Preconditioned conjugate gradients + Nyström preconditioner.
+
+The reference scales via KeOps' lazy O(N²)-compute/O(N)-memory kernel
+reductions (SURVEY.md §5; reference ``covfuncs/_tensor_product.py:111-130``)
+but always solves densely.  The gram-free path here replaces the dense
+solve with CG over streaming matvecs (``models/iterative.py``); this
+module supplies the two pieces that make that path fast on TPU:
+
+- :func:`pcg` — preconditioned CG as a ``lax.while_loop`` (static shapes,
+  single compiled program, no host round-trips per iteration), returning
+  the iteration count and final relative residual for observability.
+- :func:`nystrom_preconditioner` — a rank-``m`` Nyström approximation
+  ``K ≈ U Λ Uᵀ`` of the (operator-transformed) kernel matrix, inverted
+  in closed form via Woodbury against the noise term:
+
+      P⁻¹ r = U ((Λ + σ²)⁻¹ − σ⁻²) Uᵀ r + σ⁻² r.
+
+  Smooth-kernel Grams have rapidly decaying spectra, so a small ``m``
+  captures the dominant eigenspace and PCG converges in O(10) iterations
+  where plain CG needs hundreds (the classic randomized-preconditioning
+  recipe for kernel ridge regression).  Cost: one (n × m) kernel block,
+  one thin SVD — O(n m²) MXU matmuls, O(n m) memory.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class PCGResult(NamedTuple):
+    x: jnp.ndarray
+    iterations: jnp.ndarray
+    relative_residual: jnp.ndarray
+
+
+def pcg(
+    matvec: Callable,
+    b: jnp.ndarray,
+    *,
+    M: Callable | None = None,
+    tol: float = 1e-6,
+    maxiter: int = 512,
+    x0: jnp.ndarray | None = None,
+) -> PCGResult:
+    """Solve ``A x = b`` (A SPD) by preconditioned conjugate gradients.
+
+    ``M`` applies an approximation of ``A⁻¹``.  The loop is a
+    ``lax.while_loop`` — jittable, differentiable-free hot path, one
+    compiled program regardless of iteration count.
+    """
+    if M is None:
+        M = lambda r: r  # noqa: E731
+
+    b = jnp.asarray(b)
+    x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
+    r = b - matvec(x) if x0 is not None else b
+    z = M(r)
+    p = z
+    rz = jnp.vdot(r, z)
+    b_norm = jnp.linalg.norm(b)
+    # Absolute threshold on ||r||; guard b == 0.
+    threshold = tol * jnp.where(b_norm > 0, b_norm, 1.0)
+
+    def cond(state):
+        _, r, _, _, k = state
+        return jnp.logical_and(jnp.linalg.norm(r) > threshold, k < maxiter)
+
+    def body(state):
+        x, r, p, rz, k = state
+        Ap = matvec(p)
+        alpha = rz / jnp.vdot(p, Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = M(r)
+        rz_new = jnp.vdot(r, z)
+        beta = rz_new / rz
+        p = z + beta * p
+        return x, r, p, rz_new, k + 1
+
+    x, r, _, _, k = jax.lax.while_loop(cond, body, (x, r, p, rz, jnp.array(0)))
+    relres = jnp.linalg.norm(r) / jnp.where(b_norm > 0, b_norm, 1.0)
+    return PCGResult(x, k, relres)
+
+
+class NystromPreconditioner(NamedTuple):
+    """Rank-``m`` eigenbasis of the Nyström approximation of the Gram.
+
+    ``U`` is (n, m) with orthonormal columns, ``lam`` the corresponding
+    eigenvalue estimates of the *noise-free* kernel matrix, ``sigma_sq``
+    the noise term the full system adds to the diagonal.
+    """
+
+    U: jnp.ndarray
+    lam: jnp.ndarray
+    sigma_sq: jnp.ndarray
+
+    def __call__(self, r: jnp.ndarray) -> jnp.ndarray:
+        s2 = self.sigma_sq
+        coeff = 1.0 / (self.lam + s2) - 1.0 / s2
+        return self.U @ (coeff * (self.U.T @ r)) + r / s2
+
+
+@partial(jax.jit, static_argnames=())
+def _nystrom_factors(K_XZ: jnp.ndarray, K_ZZ: jnp.ndarray):
+    m = K_ZZ.shape[0]
+    # Stabilized pivot factor: W + δI with δ relative to its scale.
+    delta = jnp.finfo(K_ZZ.dtype).eps * jnp.trace(K_ZZ) * m
+    L = jnp.linalg.cholesky(K_ZZ + delta * jnp.eye(m, dtype=K_ZZ.dtype))
+    # B = K_XZ L^{-T}  =>  B Bᵀ = K_XZ W⁻¹ K_ZXᵀ  (the Nyström approximant).
+    B = jax.scipy.linalg.solve_triangular(L, K_XZ.T, lower=True).T
+    U, S, _ = jnp.linalg.svd(B, full_matrices=False)
+    return U, S**2
+
+
+def nystrom_preconditioner(
+    K_XZ: jnp.ndarray,
+    K_ZZ: jnp.ndarray,
+    sigma_sq,
+) -> NystromPreconditioner:
+    """Build the Woodbury inverse of ``Nyström(K) + σ² I``.
+
+    ``K_XZ``: (n, m) kernel block against ``m`` landmark points;
+    ``K_ZZ``: (m, m) landmark Gram; ``sigma_sq``: diagonal noise.
+    """
+    U, lam = _nystrom_factors(jnp.asarray(K_XZ), jnp.asarray(K_ZZ))
+    return NystromPreconditioner(U, lam, jnp.asarray(sigma_sq, dtype=U.dtype))
+
+
+def landmark_indices(n: int, m: int) -> jnp.ndarray:
+    """``m`` deterministic, evenly spread landmark indices in ``[0, n)``.
+
+    Evenly strided points are the right default for the quasi-uniform
+    collocation grids of PDE problems (no RNG ⇒ reproducible posteriors).
+    """
+    m = int(min(m, n))
+    return jnp.asarray(
+        (jnp.arange(m, dtype=jnp.float64 if jax.config.jax_enable_x64 else jnp.float32) + 0.5)
+        * (n / m),
+        dtype=jnp.int32,
+    )

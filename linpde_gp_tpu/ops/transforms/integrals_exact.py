@@ -92,6 +92,26 @@ def _matern_Rt(p_order: int) -> RationalPolynomial:
     return RationalPolynomial(_exp_primitive_poly(tq))
 
 
+def _hat_segment_tables(basis):
+    """Per-hat linear-piece tables ``(a, b, alpha, beta)``, each ``(m, 2)``,
+    with invalid boundary pieces zeroed out (``w(t) = alpha t + beta`` on
+    ``[a, b]``; matches ``basis.eval_elem`` semantics)."""
+    x_im1, x_i, x_ip1 = basis.x_im1, basis.x_i, basis.x_ip1
+    ls = 1.0 / (x_i - x_im1)
+    rs = 1.0 / (x_ip1 - x_i)
+    a = np.stack([x_im1, x_i], axis=1)
+    b = np.stack([x_i, x_ip1], axis=1)
+    alpha = np.stack([ls, -rs], axis=1)
+    beta = np.stack([-x_im1 * ls, x_ip1 * rs], axis=1)
+    valid = np.ones_like(a, dtype=bool)
+    if not basis.zero_boundary:
+        valid[0, 0] = False  # boundary hats: flat extension clamped to 0
+        valid[-1, 1] = False
+    alpha = np.where(valid, alpha, 0.0)
+    beta = np.where(valid, beta, 0.0)
+    return a, b, alpha, beta
+
+
 def matern_hat_projection_crosscov(nu: float, lengthscale: float, basis):
     r"""Exact ``x ↦ [∫ φ_i(t) k(x, t) dt]_i`` for half-integer Matérn.
 
@@ -120,20 +140,7 @@ def matern_hat_projection_crosscov(nu: float, lengthscale: float, basis):
     R0 = float(r_coeffs[0])
     Rt0 = float(rt_coeffs[0])
 
-    # Segment tables: (m, 2) arrays of [a, b, alpha, beta] + validity.
-    x_im1, x_i, x_ip1 = basis.x_im1, basis.x_i, basis.x_ip1
-    ls = 1.0 / (x_i - x_im1)
-    rs = 1.0 / (x_ip1 - x_i)
-    a = np.stack([x_im1, x_i], axis=1)
-    b = np.stack([x_i, x_ip1], axis=1)
-    alpha = np.stack([ls, -rs], axis=1)
-    beta = np.stack([-x_im1 * ls, x_ip1 * rs], axis=1)
-    valid = np.ones_like(a, dtype=bool)
-    if not basis.zero_boundary:
-        valid[0, 0] = False   # boundary hats: flat extension clamped to 0
-        valid[-1, 1] = False
-    alpha = np.where(valid, alpha, 0.0)
-    beta = np.where(valid, beta, 0.0)
+    a, b, alpha, beta = _hat_segment_tables(basis)
 
     a_j = jnp.asarray(a)
     b_j = jnp.asarray(b)
@@ -165,6 +172,182 @@ def matern_hat_projection_crosscov(nu: float, lengthscale: float, basis):
         return jnp.sum(seg, axis=-1)
 
     return evaluate
+
+
+def _shift_poly(coeffs, j: int):
+    """Coefficients of ``u^j * p(u)`` from coefficients of ``p``."""
+    return (Fraction(0),) * j + tuple(Fraction(c) for c in coeffs)
+
+
+@functools.lru_cache(maxsize=None)
+def _moment_primitive_tables(p_order: int, max_j: int, first_moment: bool):
+    """Antiderivative data for ``∫ u^j h(u) du``, ``j = 0..max_j``, where
+    ``h = g`` (odd zeroth-moment primitive of ``φ``) when
+    ``first_moment=False`` and ``h = G`` (even first-moment primitive)
+    when ``True``.
+
+    On ``u >= 0``: ``h(u) = H0 − H(u) e^{-u}``, so
+    ``F_j(u) = H0 u^{j+1}/(j+1) + E_j(u) e^{-u}`` with
+    ``E_j = Σ_k (u^j H)^{(k)}`` (exponential integration-by-parts).
+    Returns ``(H0, [(E_j coeffs, F_j(0), odd_extension_j)])``; the global
+    antiderivative is the odd/even extension dictated by the integrand's
+    parity (``u^j g`` is odd for even ``j``; ``u^j G`` is odd for odd
+    ``j`` — an odd integrand gets an EVEN antiderivative and vice versa).
+    """
+    base = _matern_Rt(p_order) if first_moment else _matern_R(p_order)
+    base_c = tuple(base.rational_coefficients)
+    h0 = base_c[0]
+    rows = []
+    for j in range(max_j + 1):
+        e_j = _exp_primitive_poly(_shift_poly(base_c, j))
+        f0 = float(e_j[0])  # F_j(0) = E_j(0) (the H0-term vanishes at 0)
+        integrand_odd = (j % 2 == 0) if not first_moment else (j % 2 == 1)
+        rows.append((tuple(float(c) for c in e_j), f0, not integrand_odd))
+    return float(h0), rows
+
+
+def _eval_moment_primitive(u, h0, e_coeffs, f0, odd, j):
+    """Global antiderivative of ``u^j h(u)`` (see above) at ``u``."""
+    t = np.abs(u)
+    horner = np.full_like(t, e_coeffs[-1])
+    for ck in reversed(e_coeffs[:-1]):
+        horner = horner * t + ck
+    f_plus = h0 * t ** (j + 1) / (j + 1) + horner * np.exp(-t)
+    if odd:
+        return np.sign(u) * (f_plus - f0)
+    return f_plus
+
+
+def matern_hat_double_projection_gram(
+    nu: float, lengthscale: float, basis_out, basis_in
+) -> np.ndarray:
+    r"""Exact ``G_ij = ∫∫ w_i(s) w_j(t) k(s, t) dt ds`` for hat bases and
+    a half-integer Matérn ``k`` — the double-projection Gram block, in
+    closed form for EVERY half-integer ν (the reference reaches machine
+    precision here only through quadrature; its exact projection formulas
+    stop at the crosscov level, ``crosscov/linfunctls/projections.py``).
+
+    Derivation: the inner integral is the projection crosscov
+    ``inner(s) = (α₂s+β₂)A(s) + α₂B(s)`` (see
+    :func:`matern_hat_projection_crosscov`); the outer integral of
+    ``(α₁s+β₁)·inner(s)`` reduces to moments
+    ``∫ s^m g(c(s−e)) ds`` (m ≤ 2) and ``∫ s^m G(c(s−e)) ds`` (m ≤ 1),
+    each an explicit antiderivative via the exponential
+    integration-by-parts series in exact rational arithmetic.  Host
+    numpy float64 — Gram assembly for FEM observation blocks is a
+    one-time O(m²) setup cost.
+    """
+    p_order = int(nu - 0.5)
+    c = float(np.sqrt(2 * nu) / lengthscale)
+
+    g0, g_rows = _moment_primitive_tables(p_order, 2, False)
+    G0, G_rows = _moment_primitive_tables(p_order, 1, True)
+
+    a1, b1, al1, be1 = _hat_segment_tables(basis_out)
+    a2, b2, al2, be2 = _hat_segment_tables(basis_in)
+
+    # Broadcast segment pairs: out (m1, 2) -> (m1, 2, 1, 1); in -> (1, 1, m2, 2).
+    a1 = a1[:, :, None, None]
+    b1 = b1[:, :, None, None]
+    al1 = al1[:, :, None, None]
+    be1 = be1[:, :, None, None]
+    a2 = a2[None, None, :, :]
+    b2 = b2[None, None, :, :]
+    al2 = al2[None, None, :, :]
+    be2 = be2[None, None, :, :]
+
+    from math import comb
+
+    def moment_integral(e, m, h0, rows):
+        """``∫_{a1}^{b1} s^m h(c(s−e)) ds`` elementwise over the pair grid."""
+        u_hi = c * (b1 - e)
+        u_lo = c * (a1 - e)
+        total = 0.0
+        for j in range(m + 1):
+            e_coeffs, f0, odd = rows[j]
+            d = _eval_moment_primitive(
+                u_hi, h0, e_coeffs, f0, odd, j
+            ) - _eval_moment_primitive(u_lo, h0, e_coeffs, f0, odd, j)
+            total = total + comb(m, j) * e ** (m - j) * c ** (-j) * d
+        return total / c
+
+    # P2(s) = (α₁s+β₁)(α₂s+β₂) = p2 s² + p1 s + p0; P1(s) = α₂(α₁s+β₁).
+    p2 = al1 * al2
+    p1 = al1 * be2 + al2 * be1
+    p0 = be1 * be2
+    q1 = al2 * al1
+    q0 = al2 * be1
+
+    def contract_g(e):
+        return (
+            p0 * moment_integral(e, 0, g0, g_rows)
+            + p1 * moment_integral(e, 1, g0, g_rows)
+            + p2 * moment_integral(e, 2, g0, g_rows)
+        )
+
+    def contract_G(e):
+        return q0 * moment_integral(e, 0, G0, G_rows) + q1 * moment_integral(
+            e, 1, G0, G_rows
+        )
+
+    seg = (contract_g(a2) - contract_g(b2)) / c - (
+        contract_G(a2) - contract_G(b2)
+    ) / c**2
+    return seg.sum(axis=(1, 3))
+
+
+def exact_projection_gram(functional_out, crosscov):
+    """If ``crosscov`` is ``k L_in*`` with a (scaled) 1-D half-integer
+    Matérn ``k`` and both ``functional_out`` and ``L_in`` are hat-basis
+    load vectors / L2 projections, return the exact dense Gram block
+    ``(functional_out.output_size, crosscov.randvar_size)``; else None."""
+    from ..crosscov.base import KernelFunctionalCrossCov
+    from ..functionals.projections import (
+        BasisIntegralFunctional,
+        L2Projection_UnivariateLinearInterpolationBasis,
+    )
+    from ..kernels.arithmetic import ScaledCovarianceFunction
+    from ..kernels.stationary import Matern
+
+    if not isinstance(crosscov, KernelFunctionalCrossCov):
+        return None
+
+    def unwrap(functional):
+        if isinstance(functional, L2Projection_UnivariateLinearInterpolationBasis):
+            return functional.basis, (
+                functional.normalizer if functional.normalized else None
+            )
+        if isinstance(functional, BasisIntegralFunctional):
+            return functional.basis, None
+        return None
+
+    out = unwrap(functional_out)
+    inner = unwrap(crosscov.functional)
+    if out is None or inner is None:
+        return None
+    basis_out, norm_out = out
+    basis_in, norm_in = inner
+
+    scale = 1.0
+    k = crosscov.kernel
+    while isinstance(k, ScaledCovarianceFunction):
+        scale *= k.scalar
+        k = k.covfunc
+    if not isinstance(k, Matern) or k.input_size > 1 or k.nu == np.inf:
+        return None
+    if not k.is_half_integer:
+        return None
+    l = (
+        float(np.ravel(k.lengthscales)[0])
+        if np.ndim(k.lengthscales)
+        else float(k.lengthscales)
+    )
+    raw = scale * matern_hat_double_projection_gram(k.nu, l, basis_out, basis_in)
+    if norm_out is not None:
+        raw = np.asarray(norm_out) @ raw
+    if norm_in is not None:
+        raw = raw @ np.asarray(norm_in).T
+    return jnp.asarray(raw)
 
 
 def exact_projection_crosscov(kernel, functional):

@@ -227,3 +227,87 @@ def test_exact_projection_used_in_conditioning_path():
     post = prior.condition_on_observations(rhs, L=proj)
     assert np.all(np.isfinite(np.asarray(post.mean(x))))
     assert np.all(np.isfinite(np.asarray(post.std(x))))
+
+
+@pytest.mark.parametrize("nu", [0.5, 1.5, 3.5])
+@pytest.mark.parametrize("zb", [(True, True), (False, True)])
+def test_exact_matern_hat_double_projection_gram(nu, zb):
+    """Closed-form hat×hat double-projection Gram (every half-integer ν;
+    the reference's exact projection formulas stop at the crosscov level,
+    ``crosscov/linfunctls/projections.py``) vs adaptive quadrature of the
+    independently-verified exact inner crosscov, split at kink nodes."""
+    import scipy.integrate as si
+
+    from linpde_gp_tpu.ops.transforms.integrals_exact import (
+        _hat_segment_tables,
+        matern_hat_double_projection_gram,
+        matern_hat_projection_crosscov,
+    )
+
+    zb1, zb2 = zb
+    g1 = np.linspace(-1.0, 1.0, 5)
+    g2 = np.linspace(-0.8, 1.2, 6)
+    b1 = UnivariateLinearInterpolationBasis(g1, zero_boundary=zb1)
+    b2 = UnivariateLinearInterpolationBasis(g2, zero_boundary=zb2)
+    l = 0.37
+    G = np.asarray(matern_hat_double_projection_gram(nu, l, b1, b2))
+    inner = matern_hat_projection_crosscov(nu, l, b2)
+
+    a, b, al, be = _hat_segment_tables(b1)
+
+    def hat1(i, x):
+        tot = 0.0
+        for s in range(2):
+            if a[i, s] <= x < b[i, s] or (s == 1 and x == b[i, s]):
+                tot += al[i, s] * x + be[i, s]
+        return tot
+
+    kinks = np.concatenate([g1, g2])
+    Go = np.zeros_like(G)
+    for i in range(len(b1)):
+        li, hi = b1.support_bounds(i)
+        pts = sorted({x for x in kinks if li < x < hi})
+        for j in range(len(b2)):
+            Go[i, j] = si.quad(
+                lambda s: hat1(i, s) * float(inner(jnp.asarray(s))[j]),
+                li,
+                hi,
+                points=pts or None,
+                limit=300,
+                epsabs=1e-13,
+                epsrel=1e-13,
+            )[0]
+    np.testing.assert_allclose(G, Go, atol=1e-13)
+
+
+def test_exact_double_projection_routed_in_gram_block():
+    """``apply_functional_to_crosscov`` must route L2-projection pairs
+    through the exact Gram (incl. normalizers) and agree with the generic
+    GL-panel discretization contraction."""
+    from linpde_gp_tpu.ops.crosscov.base import (
+        KernelFunctionalCrossCov,
+        apply_functional_to_crosscov,
+    )
+    from linpde_gp_tpu.ops.transforms.integrals_exact import (
+        exact_projection_gram,
+    )
+
+    grid = np.linspace(0.0, 1.0, 7)
+    basis = UnivariateLinearInterpolationBasis(grid, zero_boundary=True)
+    proj = basis.l2_projection()
+    k = 1.3 * lgt.kernels.Matern((), nu=2.5, lengthscales=0.3)
+    cc = KernelFunctionalCrossCov(k, proj, argnum=1)
+
+    blk = exact_projection_gram(proj, cc)
+    assert blk is not None
+    got = np.asarray(apply_functional_to_crosscov(proj, cc).matrix)
+    np.testing.assert_allclose(got, np.asarray(blk), atol=1e-14)
+
+    # Independent oracle: GL-panel contraction of the exact inner crosscov.
+    disc = proj.discretization()
+    vals = cc.evaluate(disc.points)
+    ref = np.asarray(disc.weights) @ np.asarray(vals)
+    np.testing.assert_allclose(got, ref, atol=1e-9)
+
+    # Symmetry of the projected Gram.
+    np.testing.assert_allclose(got, got.T, atol=1e-14)

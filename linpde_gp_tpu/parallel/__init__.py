@@ -3,7 +3,11 @@ blocked Cholesky/solves, sharded posterior evaluation."""
 
 from .mesh import make_1d_mesh, make_mesh, replicated, row_sharding
 from .gram import sharded_gram
-from .cholesky import distributed_chol_solve, distributed_cholesky
+from .cholesky import (
+    distributed_chol_solve,
+    distributed_cholesky,
+    distributed_cholesky_cyclic,
+)
 from .posterior import sharded_posterior_eval
 from .solve import distributed_condition
 
@@ -14,6 +18,7 @@ __all__ = [
     "replicated",
     "sharded_gram",
     "distributed_cholesky",
+    "distributed_cholesky_cyclic",
     "distributed_chol_solve",
     "sharded_posterior_eval",
     "distributed_condition",

@@ -165,6 +165,147 @@ def distributed_cholesky(
     return factorize(gram)
 
 
+def _cyclic_row_permutation(nblocks: int, nb: int, num_devices: int):
+    """Natural→cyclic storage permutation: global row-block ``g`` lives on
+    device ``g % P`` at local slot ``g // P``; returns ``(idx, inv)`` such
+    that ``A_cyclic = A[idx]`` and ``A = A_cyclic[inv]``."""
+    import numpy as np
+
+    blocks_per_dev = nblocks // num_devices
+    rows_per_dev = blocks_per_dev * nb
+    idx = np.empty(nblocks * nb, dtype=np.int32)
+    for g in range(nblocks):
+        d, s = g % num_devices, g // num_devices
+        pos = d * rows_per_dev + s * nb
+        idx[pos : pos + nb] = np.arange(g * nb, (g + 1) * nb)
+    inv = np.empty_like(idx)
+    inv[idx] = np.arange(idx.size, dtype=np.int32)
+    return idx, inv
+
+
+def distributed_cholesky_cyclic(
+    gram: jnp.ndarray,
+    *,
+    mesh: Mesh,
+    block_size: int = 512,
+    jitter: float | None = None,
+) -> jnp.ndarray:
+    """Block-cyclic distributed Cholesky — load-balanced variant of
+    :func:`distributed_cholesky`.
+
+    The contiguous row-block layout leaves early devices idle once their
+    rows are factorized (or, with full-width masked GEMMs, multiplying
+    zeros): per-device trailing-update work is ``n³/(2P)`` FLOPs.  Here
+    row-block ``g`` is assigned to device ``g mod P`` (classic ScaLAPACK
+    1-D block-cyclic), so the active window shrinks uniformly across
+    devices and every per-step panel/GEMM is an exact-width static slice:
+    ``n³/(3P)`` per device — the parallel ideal.  Elimination order is
+    the natural block order (row permutation is storage only), so the
+    returned factor — un-permuted back to natural layout — is EXACTLY
+    ``chol(gram)``, drop-in for :func:`distributed_chol_solve`.
+
+    Requires ``n`` divisible by ``P * block_size``; the block loop is
+    fully unrolled (static offsets), so keep ``n / block_size`` modest.
+    """
+    n = gram.shape[0]
+    num_devices = mesh.devices.size
+    nb = block_size
+    assert n % (num_devices * nb) == 0, (
+        f"n={n} must be divisible by P*nb={num_devices * nb}"
+    )
+    nblocks = n // nb
+    rows_per_dev = n // num_devices
+    P_ = num_devices
+    if jitter is None:
+        jitter = config.cholesky_jitter
+    axes = _flat_axes(mesh)
+
+    import numpy as np
+
+    idx, inv = _cyclic_row_permutation(nblocks, nb, P_)
+    idx_j = jnp.asarray(idx)
+    inv_j = jnp.asarray(inv)
+
+    # Per-step gather indices: trailing block t (natural order) lives at
+    # gathered position (t % P)*H_k + (t//P − s_pan)*nb.  Precomputed as
+    # static constants (the unrolled loop bakes them into the program).
+    def tail_gather_idx(k):
+        s_pan = k // P_
+        H = rows_per_dev - s_pan * nb
+        rows = []
+        for t in range(k + 1, nblocks):
+            d, s = t % P_, t // P_
+            base = d * H + (s - s_pan) * nb
+            rows.append(np.arange(base, base + nb, dtype=np.int32))
+        return np.concatenate(rows) if rows else None
+
+    tail_idx = [tail_gather_idx(k) for k in range(nblocks)]
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=P(axes, None),
+        out_specs=P(axes, None),
+    )
+    def factorize(a_loc):
+        dev = jax.lax.axis_index(axes)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)[0]
+        # Global row-block id of each local row (cyclic assignment).
+        local_slot = jax.lax.broadcasted_iota(
+            jnp.int32, (rows_per_dev, 1), 0
+        )[:, 0] // nb
+        g_blocks = local_slot * P_ + dev  # (rows_per_dev,) per-row block id
+
+        if jitter:
+            g_rows = g_blocks * nb + (
+                jax.lax.broadcasted_iota(jnp.int32, (rows_per_dev, 1), 0)[:, 0]
+                % nb
+            )
+            local_diag = a_loc[jnp.arange(rows_per_dev), g_rows]
+            diag_scale = jax.lax.pmean(jnp.mean(local_diag), axes)
+            eye_loc = (col_ids[None, :] == g_rows[:, None]).astype(a_loc.dtype)
+            a_loc = a_loc + (jitter * diag_scale) * eye_loc
+
+        for k in range(nblocks):
+            kb = k * nb
+            s_pan = k // P_
+            lo = s_pan * nb
+            H = rows_per_dev - lo
+            owner = k % P_
+            c_loc = a_loc[lo:, kb : kb + nb]  # (H, nb) static
+            c_full = jax.lax.all_gather(c_loc, axes, axis=0, tiled=True)
+            d_blk = c_full[owner * H : owner * H + nb, :]
+            d_blk = 0.5 * (d_blk + d_blk.T)
+            l_d = jnp.linalg.cholesky(d_blk)
+            l_loc = jax.lax.linalg.triangular_solve(
+                l_d, c_loc, left_side=False, lower=True, transpose_a=True
+            )
+            row_blk = g_blocks[lo:]  # (H,) block ids of the sliced rows
+            after = (row_blk > k)[:, None]
+            at_diag = (row_blk == k)[:, None]
+            # Diagonal-block rows take l_d's lower triangle.
+            r_in_blk = jax.lax.broadcasted_iota(jnp.int32, (H, 1), 0)[:, 0] % nb
+            blk_cols = jax.lax.broadcasted_iota(jnp.int32, (H, nb), 1)
+            tri = blk_cols <= r_in_blk[:, None]
+            l_loc = jnp.where(
+                after, l_loc, jnp.where(at_diag & tri, l_loc, 0.0)
+            )
+            a_loc = a_loc.at[lo:, kb : kb + nb].set(l_loc)
+            if k + 1 < nblocks:
+                l_full = jax.lax.all_gather(l_loc, axes, axis=0, tiled=True)
+                l_tail = jnp.take(l_full, jnp.asarray(tail_idx[k]), axis=0)
+                a_loc = a_loc.at[lo:, kb + nb :].add(-(l_loc @ l_tail.T))
+        # Zero any strictly-upper garbage (natural column order).
+        g_rows = g_blocks * nb + (
+            jax.lax.broadcasted_iota(jnp.int32, (rows_per_dev, 1), 0)[:, 0] % nb
+        )
+        upper = col_ids[None, :] > g_rows[:, None]
+        return jnp.where(upper, 0.0, a_loc)
+
+    chol_cyclic = factorize(gram[idx_j])
+    return chol_cyclic[inv_j]
+
+
 def distributed_chol_solve(
     chol: jnp.ndarray, rhs: jnp.ndarray, *, mesh: Mesh, block_size: int = 512
 ) -> jnp.ndarray:

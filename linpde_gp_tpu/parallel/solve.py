@@ -13,7 +13,11 @@ import numpy as np
 from jax.sharding import Mesh
 
 from ..config import config
-from .cholesky import distributed_chol_solve, distributed_cholesky
+from .cholesky import (
+    distributed_chol_solve,
+    distributed_cholesky,
+    distributed_cholesky_cyclic,
+)
 from .gram import sharded_gram
 
 
@@ -30,9 +34,14 @@ def distributed_condition(
     noise_variance: float = 0.0,
     block_size: int = 256,
     jitter: float | None = None,
+    layout: str = "cyclic",
 ):
     """Compute representer weights ``(K + sigma^2 I)^{-1} (Y)`` with every
     stage sharded over the mesh.
+
+    ``layout="cyclic"`` (default) uses the load-balanced block-cyclic
+    factorization (``n³/(3P)`` FLOPs per device — the parallel ideal);
+    ``"contiguous"`` keeps the simpler row-slab variant.
 
     Returns ``(weights, chol)`` with ``chol`` row-sharded (padded size).
     """
@@ -56,6 +65,12 @@ def distributed_condition(
         gram = padded
         Y = jnp.concatenate([Y, jnp.zeros(n_pad - n, Y.dtype)])
 
-    chol = distributed_cholesky(gram, mesh=mesh, block_size=block_size)
+    nblocks = n_pad // block_size
+    if layout == "cyclic" and nblocks <= 128:
+        # Fully-unrolled static program; fall back to the fori_loop
+        # contiguous variant when the unroll would blow up compile time.
+        chol = distributed_cholesky_cyclic(gram, mesh=mesh, block_size=block_size)
+    else:
+        chol = distributed_cholesky(gram, mesh=mesh, block_size=block_size)
     weights = distributed_chol_solve(chol, Y, mesh=mesh, block_size=block_size)
     return weights[:n], chol

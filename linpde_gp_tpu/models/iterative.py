@@ -92,6 +92,24 @@ class IterativeGPRegressor:
         self._obs_spec = kernel_term_specs(k_obs)
         self._cross_spec = kernel_term_specs(k_cross)
 
+        # Sum-of-Kronecker Gram matvecs on tensor-product grids: for an
+        # (n_1 × ... × n_d) grid the structured matvec costs
+        # O(N · Σ n_i) instead of O(N²) — the reference's Kronecker
+        # shortcut (``covfuncs/_tensor_product.py:64-82``) applied to the
+        # whole iterative solve.  C-order grid flattening matches the
+        # Kronecker vec convention.
+        self._gram_linop = None
+        from .domains.grid import grid_factors
+        from ..ops.linalg.linops import Dense
+
+        if grid_factors(X) is not None:
+            try:
+                linop = k_obs.linop(X)
+            except NotImplementedError:
+                linop = None
+            if linop is not None and not isinstance(linop, Dense):
+                self._gram_linop = linop
+
         n = self.X.shape[0]
         if precond_rank == "auto":
             precond_rank = min(512, n // 4) if n >= 1024 else 0
@@ -103,6 +121,8 @@ class IterativeGPRegressor:
 
     # ------------------------------------------------------------------
     def _gram_matvec(self, v: jnp.ndarray) -> jnp.ndarray:
+        if self._gram_linop is not None:
+            return self._gram_linop @ v + self.noise_variance * v
         x = self.X.reshape(self.X.shape[0], -1)
         if self._obs_spec is not None:
             out = gram_matvec(self._obs_spec, x, x, v)

@@ -7,7 +7,9 @@ from .cholesky import (
     distributed_chol_solve,
     distributed_cholesky,
     distributed_cholesky_cyclic,
+    distributed_tri_solve,
 )
+from .extend import DistributedCholFactor
 from .posterior import sharded_posterior_eval
 from .solve import distributed_condition
 
@@ -20,6 +22,8 @@ __all__ = [
     "distributed_cholesky",
     "distributed_cholesky_cyclic",
     "distributed_chol_solve",
+    "distributed_tri_solve",
+    "DistributedCholFactor",
     "sharded_posterior_eval",
     "distributed_condition",
 ]

@@ -306,6 +306,95 @@ def distributed_cholesky_cyclic(
     return chol_cyclic[inv_j]
 
 
+def distributed_tri_solve(
+    chol: jnp.ndarray,
+    rhs: jnp.ndarray,
+    *,
+    mesh: Mesh,
+    block_size: int = 512,
+    transpose: bool = False,
+) -> jnp.ndarray:
+    """Solve ``L y = rhs`` (or ``L^T y = rhs`` with ``transpose=True``)
+    with the lower factor ``L`` row-sharded over ``mesh``.
+
+    ``rhs``: ``(n,)`` or ``(n, m)`` replicated (multi-RHS supported — the
+    building block for incremental Schur extension, where the new cross
+    block is an ``(n, m)`` triangular solve).  Returns replicated ``y``.
+    Blocked forward/backward substitution with ``psum`` broadcasts.
+    """
+    n = chol.shape[0]
+    num_devices = mesh.devices.size
+    nb = block_size
+    nblocks = n // nb
+    rows_per_dev = n // num_devices
+    axes = _flat_axes(mesh)
+    vector = rhs.ndim == 1
+    r2 = rhs[:, None] if vector else rhs
+    m = r2.shape[1]
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axes, None), P(None, None)),
+        out_specs=P(None, None),
+    )
+    def solve(l_loc, r):
+        dev = jax.lax.axis_index(axes)
+        my_first_row = dev * rows_per_dev
+        local_rows = jax.lax.broadcasted_iota(
+            jnp.int32, (rows_per_dev, 1), 0
+        )[:, 0] + my_first_row
+
+        def extract_block(kb):
+            local_off = jnp.clip(kb - my_first_row, 0, rows_per_dev - nb)
+            rows = jax.lax.dynamic_slice(l_loc, (local_off, kb), (nb, nb))
+            owner = (kb >= my_first_row) & (kb < my_first_row + rows_per_dev)
+            return jax.lax.psum(jnp.where(owner, rows, 0.0), axes)
+
+        if not transpose:
+
+            def fwd_step(k, y):
+                kb = jnp.int32(k * nb)
+                l_kk = extract_block(kb)
+                local_off = jnp.clip(kb - my_first_row, 0, rows_per_dev - nb)
+                l_rows = jax.lax.dynamic_slice(
+                    l_loc, (local_off, jnp.int32(0)), (nb, n)
+                )
+                owner = (kb >= my_first_row) & (
+                    kb < my_first_row + rows_per_dev
+                )
+                s = jax.lax.psum(jnp.where(owner, l_rows @ y, 0.0), axes)
+                r_k = jax.lax.dynamic_slice(r, (kb, jnp.int32(0)), (nb, m))
+                y_k = jax.lax.linalg.triangular_solve(
+                    l_kk, r_k - s, left_side=True, lower=True
+                )
+                return jax.lax.dynamic_update_slice(y, y_k, (kb, jnp.int32(0)))
+
+            return jax.lax.fori_loop(0, nblocks, fwd_step, jnp.zeros_like(r))
+
+        def bwd_step(i, x):
+            kb = jnp.int32((nblocks - 1 - i) * nb)
+            l_kk = extract_block(kb)
+            l_col = jax.lax.dynamic_slice(
+                l_loc, (jnp.int32(0), kb), (rows_per_dev, nb)
+            )
+            x_local = jax.lax.dynamic_slice(
+                x, (my_first_row, jnp.int32(0)), (rows_per_dev, m)
+            )
+            mask = (local_rows >= kb + nb).astype(x.dtype)[:, None]
+            s = jax.lax.psum(l_col.T @ (x_local * mask), axes)
+            r_k = jax.lax.dynamic_slice(r, (kb, jnp.int32(0)), (nb, m))
+            x_k = jax.lax.linalg.triangular_solve(
+                l_kk, r_k - s, left_side=True, lower=True, transpose_a=True
+            )
+            return jax.lax.dynamic_update_slice(x, x_k, (kb, jnp.int32(0)))
+
+        return jax.lax.fori_loop(0, nblocks, bwd_step, jnp.zeros_like(r))
+
+    out = solve(chol, r2)
+    return out[:, 0] if vector else out
+
+
 def distributed_chol_solve(
     chol: jnp.ndarray, rhs: jnp.ndarray, *, mesh: Mesh, block_size: int = 512
 ) -> jnp.ndarray:

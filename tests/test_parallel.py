@@ -181,3 +181,50 @@ def test_distributed_cholesky_cyclic_matches_dense():
         distributed_chol_solve(jnp.asarray(L), jnp.asarray(b), mesh=mesh, block_size=nb)
     )
     np.testing.assert_allclose(x, np.linalg.solve(A, b), rtol=0, atol=1e-8)
+
+
+def test_distributed_chol_factor_incremental_extension():
+    """Schur extension of a mesh-sharded factor (SURVEY §7 hard part #3):
+    appending observation blocks must never refactorize the base block
+    and must solve the extended system exactly."""
+    from linpde_gp_tpu.parallel import (
+        DistributedCholFactor,
+        distributed_cholesky_cyclic,
+        distributed_tri_solve,
+    )
+
+    mesh = make_mesh(8)
+    rng_l = np.random.default_rng(7)
+    n, nb = 256, 16
+    A = rng_l.standard_normal((n, n))
+    A = A @ A.T + n * np.eye(n)
+    L = distributed_cholesky_cyclic(jnp.asarray(A), mesh=mesh, block_size=nb)
+
+    # Multi-RHS distributed triangular solves (the extension workhorse).
+    Bm = rng_l.standard_normal((n, 5))
+    y = np.asarray(
+        distributed_tri_solve(L, jnp.asarray(Bm), mesh=mesh, block_size=nb)
+    )
+    np.testing.assert_allclose(y, np.linalg.solve(np.asarray(L), Bm), atol=1e-9)
+
+    f = DistributedCholFactor(L, mesh=mesh, block_size=nb)
+    m1, m2 = 24, 17
+    B1 = rng_l.standard_normal((n, m1))
+    D1 = rng_l.standard_normal((m1, m1))
+    D1 = D1 @ D1.T + m1 * np.eye(m1)
+    f.extend(jnp.asarray(B1), jnp.asarray(D1))
+    A1 = np.block([[A, B1], [B1.T, D1]])
+
+    B2 = rng_l.standard_normal((n + m1, m2))
+    D2 = rng_l.standard_normal((m2, m2))
+    D2 = D2 @ D2.T + m2 * np.eye(m2)
+    f.extend(jnp.asarray(B2), jnp.asarray(D2))
+    A2 = np.block([[A1, B2], [B2.T, D2]])
+
+    b = rng_l.standard_normal(n + m1 + m2)
+    np.testing.assert_allclose(
+        np.asarray(f.solve(jnp.asarray(b))), np.linalg.solve(A2, b), atol=1e-8
+    )
+    np.testing.assert_allclose(
+        float(f.logdet()), np.linalg.slogdet(A2)[1], rtol=1e-12
+    )

@@ -11,7 +11,7 @@ from .cholesky import (
 )
 from .extend import DistributedCholFactor
 from .posterior import sharded_posterior_eval
-from .solve import distributed_condition
+from .solve import DistributedConditioner, distributed_condition
 
 __all__ = [
     "make_mesh",
@@ -26,4 +26,5 @@ __all__ = [
     "DistributedCholFactor",
     "sharded_posterior_eval",
     "distributed_condition",
+    "DistributedConditioner",
 ]

@@ -18,6 +18,7 @@ from .cholesky import (
     distributed_cholesky,
     distributed_cholesky_cyclic,
 )
+from .extend import DistributedCholFactor
 from .gram import sharded_gram
 
 
@@ -74,3 +75,130 @@ def distributed_condition(
         chol = distributed_cholesky(gram, mesh=mesh, block_size=block_size)
     weights = distributed_chol_solve(chol, Y, mesh=mesh, block_size=block_size)
     return weights[:n], chol
+
+
+class DistributedConditioner:
+    """Incremental distributed GP conditioning: the N×N base Gram is
+    factorized ONCE on the mesh; each further observation batch is a
+    Schur extension (multi-RHS distributed forward solve + small
+    replicated Cholesky) — the mesh-scale generalization of the
+    reference's "condition again without refactoring" property
+    (``linops/_block.py:226-268``; SURVEY §7 hard part #3).
+
+    Batches may use DIFFERENT operator-transformed kernels; the caller
+    supplies, per new batch, the cross kernel against each previous
+    batch (``L_i k L_new*``) and the new diagonal kernel
+    (``L_new k L_new*``), exactly as the dense engine's dispatch does.
+    """
+
+    def __init__(self, *, mesh: Mesh, block_size: int = 256):
+        self.mesh = mesh
+        self.block_size = int(block_size)
+        self._factor: DistributedCholFactor | None = None
+        self._Xs: list = []
+        self._resids: list = []
+        self._n_pad = 0
+        self._n0 = 0
+
+    @property
+    def num_batches(self) -> int:
+        return len(self._Xs)
+
+    def condition(self, kernel, X, Y, *, noise_variance: float = 0.0,
+                  jitter: float | None = None):
+        """Factorize the first (large) batch; returns the representer
+        weights for it."""
+        assert self._factor is None, "already conditioned; use extend()"
+        X = jnp.asarray(X)
+        Y = jnp.asarray(Y).reshape(-1)
+        n = Y.shape[0]
+        quantum = self.mesh.devices.size * self.block_size
+        n_pad = _pad_multiple(max(n, quantum), quantum)
+
+        gram = sharded_gram(kernel, X, mesh=self.mesh)
+        if jitter is None:
+            jitter = config.cholesky_jitter
+        bump = noise_variance + jitter
+        if bump:
+            gram = gram + bump * jnp.eye(n, dtype=gram.dtype)
+        if n_pad != n:
+            padded = jnp.eye(n_pad, dtype=gram.dtype)
+            padded = padded.at[:n, :n].set(gram)
+            gram = padded
+
+        nblocks = n_pad // self.block_size
+        if nblocks <= 128:
+            chol = distributed_cholesky_cyclic(
+                gram, mesh=self.mesh, block_size=self.block_size
+            )
+        else:
+            chol = distributed_cholesky(
+                gram, mesh=self.mesh, block_size=self.block_size
+            )
+        self._factor = DistributedCholFactor(
+            chol, mesh=self.mesh, block_size=self.block_size
+        )
+        self._Xs = [X.reshape((-1,) + X.shape[X.ndim - kernel.input_ndim:])]
+        self._n0 = n
+        self._n_pad = n_pad
+        self._resids = [jnp.concatenate([Y, jnp.zeros(n_pad - n, Y.dtype)])]
+        return self.weights()
+
+    def extend(self, cross_kernels, diag_kernel, X_new, Y_new, *,
+               noise_variance: float = 0.0, jitter: float | None = None):
+        """Append an observation batch without refactorizing.
+
+        ``cross_kernels``: one kernel per existing batch, evaluating
+        ``L_i k L_new*``; ``diag_kernel``: ``L_new k L_new*``.
+        """
+        assert self._factor is not None, "call condition() first"
+        X_new = jnp.asarray(X_new)
+        Y_new = jnp.asarray(Y_new).reshape(-1)
+        m = Y_new.shape[0]
+        from ..ops.pallas_gram import gram_matrix
+
+        def gram_block(kernel, X0, X1):
+            # Extension batches are usually small; shard only when the
+            # point counts divide the mesh axes, else assemble dense.
+            r_ax, c_ax = self.mesh.axis_names
+            n0 = X0.reshape((-1,) + kernel.input_shape).shape[0]
+            n1 = X1.reshape((-1,) + kernel.input_shape).shape[0]
+            if (
+                n0 % self.mesh.shape[r_ax] == 0
+                and n1 % self.mesh.shape[c_ax] == 0
+            ):
+                return sharded_gram(kernel, X0, X1, mesh=self.mesh)
+            return gram_matrix(
+                kernel,
+                jnp.asarray(X0).reshape((-1,) + kernel.input_shape),
+                jnp.asarray(X1).reshape((-1,) + kernel.input_shape),
+            )
+
+        blocks = []
+        for i, (k_cross, X_old) in enumerate(zip(cross_kernels, self._Xs)):
+            C = gram_block(k_cross, X_old, X_new)
+            if i == 0 and self._n_pad != self._n0:
+                C = jnp.concatenate(
+                    [C, jnp.zeros((self._n_pad - self._n0, m), C.dtype)], axis=0
+                )
+            blocks.append(C)
+        B = jnp.concatenate(blocks, axis=0)
+        D = jnp.asarray(gram_block(diag_kernel, X_new, X_new))
+        if jitter is None:
+            jitter = config.cholesky_jitter
+        bump = noise_variance + jitter
+        if bump:
+            D = D + bump * jnp.eye(m, dtype=D.dtype)
+        self._factor.extend(B, D)
+        self._Xs.append(X_new.reshape(
+            (-1,) + X_new.shape[X_new.ndim - diag_kernel.input_ndim:]
+        ))
+        self._resids.append(Y_new)
+        return self.weights()
+
+    def weights(self) -> jnp.ndarray:
+        """Representer weights for all batches (padding rows stripped)."""
+        rhs = jnp.concatenate(self._resids)
+        w = self._factor.solve(rhs)
+        # Strip the identity-padding rows of the first batch.
+        return jnp.concatenate([w[: self._n0], w[self._n_pad :]])

@@ -228,3 +228,42 @@ def test_distributed_chol_factor_incremental_extension():
     np.testing.assert_allclose(
         float(f.logdet()), np.linalg.slogdet(A2)[1], rtol=1e-12
     )
+
+
+def test_distributed_conditioner_incremental_batches():
+    """End-to-end incremental distributed conditioning: PDE-operator
+    batch factorized once, boundary batch appended by Schur extension
+    (heterogeneous functionals), weights vs a dense oracle."""
+    import scipy.linalg
+
+    from linpde_gp_tpu.ops import diffops
+    from linpde_gp_tpu.ops.pallas_gram import gram_matrix
+    from linpde_gp_tpu.ops.transforms import apply_operator_to_kernel
+    from linpde_gp_tpu.parallel import DistributedConditioner
+
+    mesh = make_mesh(8)
+    k = 1.5 * lgt.kernels.Matern((), nu=2.5, lengthscales=0.4)
+    L = diffops.Derivative(2)
+    kLL = apply_operator_to_kernel(
+        L, apply_operator_to_kernel(L, k, argnum=1), argnum=0
+    )
+    kL_cross = apply_operator_to_kernel(L, k, argnum=0)
+
+    n, m = 200, 2
+    X = np.linspace(0.05, 0.95, n)
+    Y = np.sin(6 * X)
+    cond = DistributedConditioner(mesh=mesh, block_size=16)
+    cond.condition(kLL, X, Y, noise_variance=1e-8)
+
+    Xb = np.array([0.0, 1.0])
+    Yb = np.array([0.3, -0.2])
+    w = np.asarray(cond.extend([kL_cross], k, Xb, Yb, noise_variance=1e-8))
+
+    G11 = np.asarray(gram_matrix(kLL, jnp.asarray(X)))
+    G12 = np.asarray(gram_matrix(kL_cross, jnp.asarray(X), jnp.asarray(Xb)))
+    G22 = np.asarray(gram_matrix(k, jnp.asarray(Xb)))
+    G = np.block(
+        [[G11 + 1e-8 * np.eye(n), G12], [G12.T, G22 + 1e-8 * np.eye(m)]]
+    )
+    w_ref = scipy.linalg.solve(G, np.concatenate([Y, Yb]), assume_a="pos")
+    np.testing.assert_allclose(w, w_ref, rtol=0, atol=1e-9 * np.abs(w_ref).max())

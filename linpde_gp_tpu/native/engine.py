@@ -50,11 +50,24 @@ def available() -> bool:
 
 
 def _cache_dir() -> str:
-    root = os.environ.get(
-        "LGT_NATIVE_CACHE",
-        os.path.join(tempfile.gettempdir(), "lgt_native_cache"),
-    )
-    os.makedirs(root, exist_ok=True)
+    """Per-user cache directory, created 0700 and ownership-verified.
+
+    A world-shared predictable path would let another local user plant a
+    malicious ``.so`` that ``ctypes.CDLL`` silently loads; keying the
+    default on the uid and refusing dirs we don't own closes that hole
+    (and keeps ``-march=native`` artifacts machine/user-local).
+    """
+    root = os.environ.get("LGT_NATIVE_CACHE")
+    if root is None:
+        uid = os.getuid() if hasattr(os, "getuid") else "na"
+        root = os.path.join(tempfile.gettempdir(), f"lgt_native_cache_{uid}")
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    st = os.stat(root)
+    if hasattr(os, "getuid") and st.st_uid != os.getuid():
+        raise PermissionError(
+            f"native cache dir {root!r} is owned by uid {st.st_uid}, not us; "
+            "set LGT_NATIVE_CACHE to a directory you own"
+        )
     return root
 
 
@@ -179,7 +192,10 @@ def _compile(source: str) -> str:
     cache = _cache_dir()
     lib_path = os.path.join(cache, f"lgt_{key}.so")
     if os.path.exists(lib_path):
-        return lib_path
+        st = os.stat(lib_path)
+        if not hasattr(os, "getuid") or st.st_uid == os.getuid():
+            return lib_path
+        os.unlink(lib_path)  # foreign artifact: rebuild, never load
     src_path = os.path.join(cache, f"lgt_{key}.cpp")
     with open(src_path, "w") as fh:
         fh.write(source)

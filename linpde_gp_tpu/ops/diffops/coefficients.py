@@ -22,55 +22,81 @@ from ...utils.shapes import ShapeType, as_shape
 
 
 class MultiIndex:
-    """Immutable multi-index ``alpha`` representing ``∂^alpha``."""
+    """Derivative multi-index ``alpha`` for ``∂^alpha``.
 
-    def __init__(self, multi_index) -> None:
-        if isinstance(multi_index, MultiIndex):
-            multi_index = multi_index.array
-        self._multi_index = np.asarray(multi_index, dtype=int)
-        if np.any(self._multi_index < 0):
-            raise ValueError(f"Multi-index {multi_index} contains negative entries.")
-        self._multi_index.setflags(write=False)
+    Stored as a flat C-order tuple of non-negative integer orders plus
+    the domain shape — a plain hashable value type (it keys the rule
+    tables of ``ops/transforms/dispatch.py``, so cheap, stable hashing
+    matters more than array semantics).
+    """
+
+    __slots__ = ("_shape", "_orders")
+
+    def __init__(self, orders, shape: ShapeType | None = None) -> None:
+        if isinstance(orders, MultiIndex):
+            self._shape = orders._shape
+            self._orders = orders._orders
+            return
+        arr = np.asarray(orders, dtype=int)
+        self._shape = arr.shape if shape is None else as_shape(shape)
+        flat = tuple(int(o) for o in arr.reshape(-1))
+        if any(o < 0 for o in flat):
+            raise ValueError(f"derivative orders must be non-negative, got {flat}")
+        if len(flat) != int(np.prod(self._shape, dtype=int)):
+            raise ValueError(
+                f"{len(flat)} orders do not fill domain shape {self._shape}"
+            )
+        self._orders = flat
 
     @classmethod
     def from_index(cls, index, shape: ShapeType, order: int) -> "MultiIndex":
-        multi_index = np.zeros(shape, dtype=int)
-        multi_index[index] = order
-        return cls(multi_index)
+        """Single ``∂^order/∂x_index`` index; all other entries zero."""
+        shape = as_shape(shape)
+        flat_pos = int(np.ravel_multi_index(index, shape)) if shape else 0
+        size = int(np.prod(shape, dtype=int))
+        orders = tuple(
+            int(order) if i == flat_pos else 0 for i in range(size)
+        )
+        out = cls.__new__(cls)
+        out._shape = shape
+        out._orders = orders
+        return out
 
-    @functools.cached_property
+    @property
     def order(self) -> int:
-        return int(np.sum(self._multi_index))
+        return sum(self._orders)
 
-    @functools.cached_property
+    @property
     def is_mixed(self) -> bool:
-        return int(np.count_nonzero(self._multi_index)) > 1
+        return sum(1 for o in self._orders if o) > 1
 
     @property
     def array(self) -> np.ndarray:
-        return self._multi_index
+        return np.asarray(self._orders, dtype=int).reshape(self._shape)
 
     @property
     def shape(self) -> ShapeType:
-        return self._multi_index.shape
+        return self._shape
 
     def __getitem__(self, index) -> int:
-        return int(self._multi_index[index])
+        if self._shape == ():
+            return self._orders[0]
+        return self._orders[int(np.ravel_multi_index(index, self._shape))]
 
     def factorize_dimwise(self) -> tuple[int, ...]:
         """Per-dimension derivative orders as a flat tuple."""
-        return tuple(int(o) for o in self._multi_index.reshape(-1))
+        return self._orders
 
     def __hash__(self) -> int:
-        return hash(self._multi_index.data.tobytes())
+        return hash((self._shape, self._orders))
 
     def __eq__(self, other) -> bool:
         if not isinstance(other, MultiIndex):
             return NotImplemented
-        return bool(np.all(self.array == other.array))
+        return self._shape == other._shape and self._orders == other._orders
 
     def __repr__(self) -> str:
-        return f"MultiIndex({self._multi_index.tolist()})"
+        return f"MultiIndex({list(self.array.tolist()) if self._shape else self._orders[0]})"
 
 
 class PartialDerivativeCoefficients(Mapping):

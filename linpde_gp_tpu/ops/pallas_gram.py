@@ -330,12 +330,24 @@ def _native_gram(kernel, x0, x1):
 def gram_matvec(spec, X0, X1, v) -> jnp.ndarray:
     """Gram-free ``K(X0, X1) @ v`` router for a ``(scale, terms)`` spec:
     Pallas lazy reduction on TPU, the native C++/OpenMP engine on the
-    host CPU, interpreted Pallas otherwise."""
+    host CPU (above the same size threshold that gates Gram assembly —
+    small problems stay in XLA, avoiding per-call host callbacks),
+    dense XLA broadcast otherwise."""
     scale, terms = spec
-    if jax.default_backend() != "tpu" and config.use_native_host_engine:
-        from .. import native
+    backend = jax.default_backend()
+    n0 = int(np.prod(jnp.shape(X0)[:1], dtype=np.int64))
+    n1 = int(np.prod(jnp.shape(X1)[:1], dtype=np.int64))
+    if backend != "tpu":
+        use_native = (
+            backend == "cpu"
+            and config.use_native_host_engine
+            and n0 * n1 >= config.native_gram_threshold
+        )
+        eng = None
+        if use_native:
+            from .. import native
 
-        eng = native.engine_for_spec(scale, terms)
+            eng = native.engine_for_spec(scale, terms)
         if eng is not None:
             X0 = jnp.asarray(X0)
             v = jnp.asarray(v)
@@ -352,8 +364,9 @@ def gram_matvec(spec, X0, X1, v) -> jnp.ndarray:
             return jax.pure_callback(
                 _cb, out_shape, X0, jnp.asarray(X1), v, vmap_method="sequential"
             )
-        # No host toolchain: dense broadcast evaluation (the pre-native
-        # CPU behavior — O(n0*n1) memory but plain XLA).
+        # Small problem / no host toolchain / non-CPU host backend:
+        # dense broadcast evaluation (O(n0*n1) memory but plain XLA —
+        # never a device->host round-trip on GPU).
         out = _dense_terms_matvec(terms, jnp.asarray(X0), jnp.asarray(X1), v)
         return scale * out if scale != 1.0 else out
     out = pallas_gram_matvec(terms, X0, X1, v)

@@ -352,25 +352,42 @@ def distributed_tri_solve(
             return jax.lax.psum(jnp.where(owner, rows, 0.0), axes)
 
         if not transpose:
+            # Right-looking substitution: after solving block k, every
+            # device folds L[local rows, k-block] @ y_k into a LOCAL
+            # accumulator, so step k only reads the owner's accumulated
+            # rows — O(rows_per_dev * nb * m) per step per device, i.e.
+            # O(n^2 m / P) total (never the full (nb, n) @ (n, m)).
 
-            def fwd_step(k, y):
+            def fwd_step(k, carry):
+                y, acc = carry
                 kb = jnp.int32(k * nb)
                 l_kk = extract_block(kb)
                 local_off = jnp.clip(kb - my_first_row, 0, rows_per_dev - nb)
-                l_rows = jax.lax.dynamic_slice(
-                    l_loc, (local_off, jnp.int32(0)), (nb, n)
-                )
                 owner = (kb >= my_first_row) & (
                     kb < my_first_row + rows_per_dev
                 )
-                s = jax.lax.psum(jnp.where(owner, l_rows @ y, 0.0), axes)
+                acc_rows = jax.lax.dynamic_slice(
+                    acc, (local_off, jnp.int32(0)), (nb, m)
+                )
+                s = jax.lax.psum(jnp.where(owner, acc_rows, 0.0), axes)
                 r_k = jax.lax.dynamic_slice(r, (kb, jnp.int32(0)), (nb, m))
                 y_k = jax.lax.linalg.triangular_solve(
                     l_kk, r_k - s, left_side=True, lower=True
                 )
-                return jax.lax.dynamic_update_slice(y, y_k, (kb, jnp.int32(0)))
+                l_col = jax.lax.dynamic_slice(
+                    l_loc, (jnp.int32(0), kb), (rows_per_dev, nb)
+                )
+                acc = acc + l_col @ y_k
+                y = jax.lax.dynamic_update_slice(y, y_k, (kb, jnp.int32(0)))
+                return y, acc
 
-            return jax.lax.fori_loop(0, nblocks, fwd_step, jnp.zeros_like(r))
+            acc0 = jax.lax.pcast(
+                jnp.zeros((rows_per_dev, m), r.dtype), axes, to="varying"
+            )
+            y, _ = jax.lax.fori_loop(
+                0, nblocks, fwd_step, (jnp.zeros_like(r), acc0)
+            )
+            return y
 
         def bwd_step(i, x):
             kb = jnp.int32((nblocks - 1 - i) * nb)
@@ -435,25 +452,33 @@ def distributed_chol_solve(
                 jnp.where(owner, rows, 0.0), axes
             )
 
-        # Forward: L y = r.
-        def fwd_step(k, y):
+        # Forward: L y = r.  Right-looking: each device folds its local
+        # column block against the freshly solved y_k into a local
+        # accumulator — O(n^2 / P) per device, not a redundant O(n^2).
+        def fwd_step(k, carry):
+            y, acc = carry
             kb = jnp.int32(k * nb)
             l_kk = extract_block(kb)
-            # s = (L[k-block rows, :] @ y): row-block k lives on its owner;
-            # compute locally and psum-broadcast.
             local_off = jnp.clip(kb - my_first_row, 0, rows_per_dev - nb)
-            l_rows = jax.lax.dynamic_slice(
-                l_loc, (local_off, jnp.int32(0)), (nb, n)
-            )
             owner = (kb >= my_first_row) & (kb < my_first_row + rows_per_dev)
-            s = jax.lax.psum(jnp.where(owner, l_rows @ y, 0.0), axes)
+            acc_rows = jax.lax.dynamic_slice(acc, (local_off,), (nb,))
+            s = jax.lax.psum(jnp.where(owner, acc_rows, 0.0), axes)
             r_k = jax.lax.dynamic_slice(r, (kb,), (nb,))
             y_k = jax.lax.linalg.triangular_solve(
                 l_kk, (r_k - s)[:, None], left_side=True, lower=True
             )[:, 0]
-            return jax.lax.dynamic_update_slice(y, y_k, (kb,))
+            l_col = jax.lax.dynamic_slice(
+                l_loc, (jnp.int32(0), kb), (rows_per_dev, nb)
+            )
+            acc = acc + l_col @ y_k
+            return jax.lax.dynamic_update_slice(y, y_k, (kb,)), acc
 
-        y = jax.lax.fori_loop(0, nblocks, fwd_step, jnp.zeros_like(r))
+        acc0 = jax.lax.pcast(
+            jnp.zeros((rows_per_dev,), r.dtype), axes, to="varying"
+        )
+        y, _ = jax.lax.fori_loop(
+            0, nblocks, fwd_step, (jnp.zeros_like(r), acc0)
+        )
 
         # Backward: L^T x = y.  Column block k of L is row-distributed:
         # each device contributes L_loc[:, k-block]^T @ x_local_rows.

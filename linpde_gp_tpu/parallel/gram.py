@@ -51,7 +51,10 @@ def sharded_gram(kernel, X0, X1=None, *, mesh: Mesh) -> jnp.ndarray:
     x0 = X0.reshape(X0.shape[0], -1)
     x1 = X1.reshape(X1.shape[0], -1)
 
-    rows, cols = mesh.axis_names
+    # 2-D meshes tile both point sets; 1-D meshes shard rows only.
+    names = mesh.axis_names
+    rows = names[0]
+    cols = names[1] if len(names) > 1 else None
 
     @functools.partial(
         jax.shard_map,

@@ -160,13 +160,13 @@ class DistributedConditioner:
         def gram_block(kernel, X0, X1):
             # Extension batches are usually small; shard only when the
             # point counts divide the mesh axes, else assemble dense.
-            r_ax, c_ax = self.mesh.axis_names
+            # 1-D meshes shard rows only (sharded_gram handles both).
+            names = self.mesh.axis_names
+            r_div = self.mesh.shape[names[0]]
+            c_div = self.mesh.shape[names[1]] if len(names) > 1 else 1
             n0 = X0.reshape((-1,) + kernel.input_shape).shape[0]
             n1 = X1.reshape((-1,) + kernel.input_shape).shape[0]
-            if (
-                n0 % self.mesh.shape[r_ax] == 0
-                and n1 % self.mesh.shape[c_ax] == 0
-            ):
+            if n0 % r_div == 0 and n1 % c_div == 0:
                 return sharded_gram(kernel, X0, X1, mesh=self.mesh)
             return gram_matrix(
                 kernel,

@@ -91,6 +91,13 @@ def test_gram_matvec_router_native_path():
     rng = np.random.default_rng(3)
     X = rng.uniform(0.0, 1.0, (48, 2))
     v = rng.standard_normal(48)
-    got = np.asarray(gram_matvec(spec, X, X, v))
+    old = config.native_gram_threshold
+    try:
+        # The size threshold gates the native matvec exactly like Gram
+        # assembly; drop it so this small problem exercises the engine.
+        config.set(native_gram_threshold=1)
+        got = np.asarray(gram_matvec(spec, X, X, v))
+    finally:
+        config.set(native_gram_threshold=old)
     expected = np.asarray(kernel.matrix(jnp.asarray(X), jnp.asarray(X))) @ v
     np.testing.assert_allclose(got, expected, rtol=1e-12, atol=1e-13)

@@ -56,6 +56,28 @@ class _Config:
     #: preferred over broadcast XLA evaluation on CPU.
     native_gram_threshold: int = 1 << 20
 
+    #: Mixed-precision conditioning: factor float64 Grams in float32 on
+    #: the MXU and recover float64 forward error by preconditioned-CG
+    #: iterative refinement (``ops/linalg/refine.py``).  Requires x64.
+    solve_refinement: bool = False
+
+    #: Relative-residual target of a refined solve (0 -> ~30 eps of the
+    #: high precision, i.e. float64 round-off level).
+    refine_tol: float = 0.0
+
+    #: Iteration cap of a refined solve.
+    refine_maxiter: int = 400
+
+    #: Relative nugget of the refined (float64) system — eps64-scale,
+    #: mirroring the float64 eager escalation path.  The float32 factor
+    #: carries its own ~1e-6 nugget; their ratio bounds the
+    #: preconditioned spectrum (~1e6 -> O(100) CG iterations).
+    refine_target_jitter: float = 1e-12
+
+    #: Relative nugget applied when factoring the float32 copy of a
+    #: float64 Gram in refinement mode.
+    refine_factor_jitter: float = 1e-6
+
     @property
     def default_dtype(self) -> jnp.dtype:
         return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32

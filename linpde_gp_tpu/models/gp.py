@@ -163,6 +163,38 @@ class GaussianProcess:
         return Y, L, b, kLa, pred_mean, gram
 
 
+def _make_gram_solver(gram: jnp.ndarray):
+    """Factor a Gram and return ``(chol, gram_kept, solve)``.
+
+    Default: full-precision Cholesky, ``solve = cho_solve``.  With
+    ``config.solve_refinement`` and a float64 Gram: float32 factor on the
+    MXU + float64 preconditioned-CG refinement (``ops/linalg/refine.py``)
+    — the TPU-speed path to the reference's 1e-6 parity target.  The
+    Gram is kept only in refinement mode (it feeds the residual matvecs
+    and incremental extension).
+    """
+    from ..config import config as _config
+
+    if _config.solve_refinement and gram.dtype == jnp.float64:
+        from ..ops.linalg.refine import refined_solve
+
+        chol = cholesky(
+            gram.astype(jnp.float32), jitter=_config.refine_factor_jitter
+        )
+
+        def solve(B):
+            return refined_solve(gram, chol, B)
+
+        return chol, gram, solve
+
+    chol = cholesky(gram)
+
+    def solve(B):
+        return cho_solve(chol, B)
+
+    return chol, None, solve
+
+
 class ConditionalGaussianProcess(GaussianProcess):
     """Posterior GP after conditioning on linear-functional observations."""
 
@@ -177,6 +209,8 @@ class ConditionalGaussianProcess(GaussianProcess):
         chol: jnp.ndarray,
         residuals: jnp.ndarray,
         representer_weights: jnp.ndarray,
+        gram: jnp.ndarray | None = None,
+        solve=None,
     ):
         self._prior = prior
         self._Ys = tuple(Ys)
@@ -184,11 +218,18 @@ class ConditionalGaussianProcess(GaussianProcess):
         self._bs = tuple(bs)
         self._kLas = kLas
         self._chol = chol
+        self._gram = gram
         self._residuals = residuals
         self._representer_weights = representer_weights
+        # ``solve`` is the refined mixed-precision solver (None in plain
+        # dense mode, where the triangular fast paths apply).
+        refined = solve
+        if solve is None:
+            solve = functools.partial(cho_solve, chol)
+        self._solve = solve
         super().__init__(
             mean=ConditionalMean(prior.mean, kLas, representer_weights),
-            cov=ConditionalCovariance(prior.cov, kLas, chol),
+            cov=ConditionalCovariance(prior.cov, kLas, chol, solve=refined),
         )
 
     # ------------------------------------------------------------------
@@ -197,9 +238,9 @@ class ConditionalGaussianProcess(GaussianProcess):
         Y, L, b, kLa, pred_mean, gram = GaussianProcess._preprocess_observations(
             prior, Y, X, L, b
         )
-        chol = cholesky(gram)
+        chol, gram_kept, solve = _make_gram_solver(gram)
         resid = Y - pred_mean
-        weights = cho_solve(chol, resid)
+        weights = solve(resid)
         return cls(
             prior=prior,
             Ys=(Y,),
@@ -209,6 +250,8 @@ class ConditionalGaussianProcess(GaussianProcess):
             chol=chol,
             residuals=resid,
             representer_weights=weights,
+            gram=gram_kept,
+            solve=solve,
         )
 
     @property
@@ -248,9 +291,25 @@ class ConditionalGaussianProcess(GaussianProcess):
         )
         # Cross-covariance of the new functional with all previous ones.
         cross = apply_functional_to_crosscov(L, self._kLas).matrix  # (m, n)
-        chol = chol_extend(self._chol, cross.T, gram)
+        chol = chol_extend(
+            self._chol, cross.T.astype(self._chol.dtype), gram.astype(self._chol.dtype)
+        )
         resid = jnp.concatenate([self._residuals, Y - pred_mean])
-        weights = cho_solve(chol, resid)
+        gram_kept = None
+        solve = None
+        if self._gram is not None:
+            # Refinement mode: grow the high-precision Gram alongside the
+            # low-precision factor.
+            from ..ops.linalg.refine import refined_solve
+
+            gram_kept = jnp.block([[self._gram, cross.T], [cross, gram]])
+
+            def solve(B, _g=gram_kept, _c=chol):
+                return refined_solve(_g, _c, B)
+
+            weights = solve(resid)
+        else:
+            weights = cho_solve(chol, resid)
         return ConditionalGaussianProcess(
             prior=self._prior,
             Ys=self._Ys + (Y,),
@@ -260,6 +319,8 @@ class ConditionalGaussianProcess(GaussianProcess):
             chol=chol,
             residuals=resid,
             representer_weights=weights,
+            gram=gram_kept,
+            solve=solve,
         )
 
     # ------------------------------------------------------------------
@@ -281,7 +342,14 @@ class ConditionalGaussianProcess(GaussianProcess):
             chol=self._chol,
             residuals=self._residuals,
             representer_weights=self._representer_weights,
+            gram=self._gram,
+            solve=self._solve,
         )
+
+    def solve_gram(self, B: jnp.ndarray) -> jnp.ndarray:
+        """Solve ``Gram @ X = B`` through the posterior's solver (refined
+        in mixed-precision mode, plain Cholesky otherwise)."""
+        return self._solve(B)
 
     def var(self, x) -> jnp.ndarray:
         """Pointwise posterior variance (vmap/shard-friendly)."""
@@ -289,8 +357,12 @@ class ConditionalGaussianProcess(GaussianProcess):
         u = self._kLas.evaluate(x)  # batch + out + (n,)
         prior_var = self._prior.var(x)
         n = u.shape[-1]
-        q = solve_triangular(self._chol, u.reshape(-1, n).T)
-        update = jnp.sum(q**2, axis=0).reshape(u.shape[:-1])
+        ut = u.reshape(-1, n).T
+        if self._gram is None:
+            q = solve_triangular(self._chol, ut)
+            update = jnp.sum(q**2, axis=0).reshape(u.shape[:-1])
+        else:
+            update = jnp.sum(ut * self._solve(ut), axis=0).reshape(u.shape[:-1])
         return jnp.maximum(prior_var - update, 0.0)
 
 
@@ -315,22 +387,30 @@ class ConditionalCovariance(CovarianceFunction):
     """``k(x0,x1) - kLas(x0) K^{-1} kLas(x1)^T``
     (reference ``_conditional.py:206-251``)."""
 
-    def __init__(self, prior_cov: CovarianceFunction, kLas, chol):
+    def __init__(self, prior_cov: CovarianceFunction, kLas, chol, *, solve=None):
         self._prior_cov = prior_cov
         self._kLas = kLas
         self._chol = chol
+        # Optional mixed-precision refined solver (``ops/linalg/refine``);
+        # None selects the plain Cholesky paths.
+        self._refined = solve
         super().__init__(
             prior_cov.input_shape,
             prior_cov.output_shape_0,
             prior_cov.output_shape_1,
         )
 
+    def _solve_gram(self, B):
+        if self._refined is not None:
+            return self._refined(B)
+        return cho_solve(self._chol, B)
+
     def _evaluate(self, x0, x1):
         k = self._prior_cov._evaluate(x0, x1)
         u0 = self._kLas.evaluate(x0)  # batch0 + out0 + (n,)
         u1 = self._kLas.evaluate(x1)  # batch1 + out1 + (n,)
         n = u0.shape[-1]
-        v1 = cho_solve(self._chol, u1.reshape(-1, n).T).T.reshape(u1.shape)
+        v1 = self._solve_gram(u1.reshape(-1, n).T).T.reshape(u1.shape)
         d0 = self.output_ndim_0
         d1 = self.output_ndim_1
         if d0 == 0 and d1 == 0:
@@ -357,6 +437,8 @@ class ConditionalCovariance(CovarianceFunction):
                 self.input_shape, self.output_shape_1, X1
             )
             u1 = apply_functional_to_crosscov(disc1, self._kLas).matrix
+        if self._refined is not None:
+            return K - u0 @ self._refined(u1.T)
         q0 = solve_triangular(self._chol, u0.T)
         q1 = q0 if X1 is None else solve_triangular(self._chol, u1.T)
         return K - q0.T @ q1

@@ -53,13 +53,12 @@ def apply_functional(functional: LinearFunctional, obj, /, **kwargs):
     if isinstance(obj, ConditionalGaussianProcess):
         # Posterior functional marginal reusing cached factor/weights
         # (reference ``_conditional.py:453-467``).
-        from ..linalg.chol import solve_triangular
-
         block = apply_functional_to_crosscov(functional, obj.kLas).matrix
         prior_rv = apply_functional(functional, obj.prior)
         mean = prior_rv.mean.reshape(-1) + block @ obj.representer_weights
-        q = solve_triangular(obj.gram_cholesky, block.T)
-        cov = prior_rv.cov.matrix - q.T @ q
+        # Routes through the posterior's solver (mixed-precision refined
+        # when enabled, plain Cholesky otherwise).
+        cov = prior_rv.cov.matrix - block @ obj.solve_gram(block.T)
         from ..linalg.covariance import Covariance
 
         return Normal(

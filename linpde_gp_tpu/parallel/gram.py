@@ -19,22 +19,13 @@ from ..ops.pallas_gram import kernel_term_specs, pallas_gram
 
 
 def _eval_terms(scale, terms, x0, x1):
-    """Dense sum-of-products evaluation on local tiles (jnp, fusible)."""
-    from ..ops.pallas_gram import _eval_factor_tile
+    """Dense sum-of-products evaluation on local tiles (jnp, fusible),
+    via the collapsed multivariate-polynomial groups (shared
+    transcendentals, nested Horner)."""
+    from ..ops.pallas_gram import _collapse_terms, _eval_groups
 
-    acc = None
-    cache = {}
-    for coeff, factors in terms:
-        term = None
-        for i, spec in enumerate(factors):
-            key = (i, spec)
-            if key not in cache:
-                d = x0[:, None, i] - x1[None, :, i]
-                cache[key] = _eval_factor_tile(*spec, d)
-            val = cache[key]
-            term = val if term is None else term * val
-        term = coeff * term
-        acc = term if acc is None else acc + term
+    groups = _collapse_terms(tuple(terms))
+    acc = _eval_groups(groups, lambda i: x0[:, None, i] - x1[None, :, i])
     return scale * acc
 
 

@@ -163,6 +163,29 @@ class GaussianProcess:
         return Y, L, b, kLa, pred_mean, gram
 
 
+class _CholSolve:
+    """Picklable plain Cholesky solver (posterior-state checkpointing)."""
+
+    def __init__(self, chol):
+        self.chol = chol
+
+    def __call__(self, B):
+        return cho_solve(self.chol, B)
+
+
+class _RefinedSolve:
+    """Picklable mixed-precision refined solver (``ops/linalg/refine``)."""
+
+    def __init__(self, gram, chol):
+        self.gram = gram
+        self.chol = chol
+
+    def __call__(self, B):
+        from ..ops.linalg.refine import refined_solve
+
+        return refined_solve(self.gram, self.chol, B)
+
+
 def _make_gram_solver(gram: jnp.ndarray):
     """Factor a Gram and return ``(chol, gram_kept, solve)``.
 
@@ -176,23 +199,13 @@ def _make_gram_solver(gram: jnp.ndarray):
     from ..config import config as _config
 
     if _config.solve_refinement and gram.dtype == jnp.float64:
-        from ..ops.linalg.refine import refined_solve
-
         chol = cholesky(
             gram.astype(jnp.float32), jitter=_config.refine_factor_jitter
         )
-
-        def solve(B):
-            return refined_solve(gram, chol, B)
-
-        return chol, gram, solve
+        return chol, gram, _RefinedSolve(gram, chol)
 
     chol = cholesky(gram)
-
-    def solve(B):
-        return cho_solve(chol, B)
-
-    return chol, None, solve
+    return chol, None, _CholSolve(chol)
 
 
 class ConditionalGaussianProcess(GaussianProcess):
@@ -300,13 +313,8 @@ class ConditionalGaussianProcess(GaussianProcess):
         if self._gram is not None:
             # Refinement mode: grow the high-precision Gram alongside the
             # low-precision factor.
-            from ..ops.linalg.refine import refined_solve
-
             gram_kept = jnp.block([[self._gram, cross.T], [cross, gram]])
-
-            def solve(B, _g=gram_kept, _c=chol):
-                return refined_solve(_g, _c, B)
-
+            solve = _RefinedSolve(gram_kept, chol)
             weights = solve(resid)
         else:
             weights = cho_solve(chol, resid)

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.linalg.pcg import landmark_indices, nystrom_preconditioner, pcg
+from ..ops.linalg.pcg import landmark_indices, nystrom_preconditioner, pcg, pcg_block
 from ..ops.pallas_gram import gram_matrix, gram_matvec, kernel_term_specs
 from ..ops.transforms.dispatch import apply_operator_to_kernel
 from .functions.base import Function, Zero
@@ -186,22 +186,35 @@ class IterativeGPRegressor:
         return (m + update).reshape(batch)
 
     def var(self, x, *, block_size: int = 256) -> jnp.ndarray:
-        """Posterior variance by batched CG (exact up to tolerance)."""
+        """Posterior variance by BLOCKED multi-RHS CG: each iteration is
+        one shared ``(n, B)`` streaming Gram mat-mat, so a block of ``B``
+        query columns costs ~one CG solve's worth of Gram traffic instead
+        of ``B`` independent solves (O(N² · nq / B) total pair work)."""
         x = jnp.asarray(x)
         batch = x.shape[: x.ndim - len(self.prior.input_shape)]
         xq = x.reshape((-1,) + self.prior.input_shape)
         kxX = gram_matrix(self._k_cross, xq, self.X)  # (nq, n)
 
         M = self._preconditioner()
+        nq = kxX.shape[0]
+        bs = min(block_size, nq)
+        pad = (-nq) % bs
+        rhs_all = jnp.concatenate(
+            [kxX, jnp.zeros((pad, kxX.shape[1]), kxX.dtype)], axis=0
+        )
 
-        def solve_one(rhs):
-            return pcg(
-                self._gram_matvec, rhs, M=M, tol=self.tol, maxiter=self.maxiter
-            ).x
+        def solve_block(rhs_block):  # (bs, n) -> (bs, n)
+            return pcg_block(
+                self._gram_matvec,
+                rhs_block.T,
+                M=M,
+                tol=self.tol,
+                maxiter=self.maxiter,
+            ).x.T
 
         sols = jax.lax.map(
-            solve_one, kxX, batch_size=min(block_size, kxX.shape[0])
-        )
+            solve_block, rhs_all.reshape(-1, bs, kxX.shape[1])
+        ).reshape(-1, kxX.shape[1])[:nq]
         prior_var = self.prior.cov(xq)
         update = jnp.sum(kxX * sols, axis=-1)
         return jnp.maximum(prior_var - update, 0.0).reshape(batch)

@@ -239,3 +239,41 @@ def test_iterative_regressor_preconditioned_matches_dense():
         np.asarray(pre.var(xq)), np.asarray(dense.var(xq)), atol=1e-7
     )
     assert pre.solve_info[0] < 4000
+
+
+def test_pcg_block_matches_direct_solve():
+    """Blocked multi-RHS CG: every column solved to tolerance through
+    SHARED matvec applications (the variance-sweep workhorse)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from linpde_gp_tpu.ops.linalg.pcg import pcg_block
+
+    rng = np.random.default_rng(5)
+    A0 = rng.standard_normal((60, 60))
+    A = jnp.asarray(A0 @ A0.T + 60 * np.eye(60))
+    B = jnp.asarray(rng.standard_normal((60, 7)))
+    res = pcg_block(lambda v: A @ v, B, tol=1e-12, maxiter=300)
+    X_ref = jnp.linalg.solve(A, B)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(X_ref), rtol=1e-8, atol=1e-9)
+    assert float(res.relative_residual) < 1e-10
+
+
+def test_iterative_var_blocked_matches_dense():
+    """IterativeGPRegressor.var through pcg_block vs the dense posterior."""
+    import numpy as np
+    import jax.numpy as jnp
+    import linpde_gp_tpu as lgt
+    from linpde_gp_tpu.models.iterative import IterativeGPRegressor
+
+    rng = np.random.default_rng(2)
+    k = lgt.kernels.Matern((), nu=2.5, lengthscales=0.5)
+    prior = lgt.GaussianProcess(lgt.functions.Zero(()), k)
+    X = rng.uniform(-1, 1, 90)
+    Y = np.sin(3 * X) + 0.05 * rng.standard_normal(90)
+    reg = IterativeGPRegressor(prior, X, Y, noise_variance=1e-4, tol=1e-11, maxiter=600)
+    post = prior.condition_on_observations(Y, X=X, b=lgt.models.randvars.Normal(
+        np.zeros(90), 1e-4 * np.eye(90)))
+    xq = np.linspace(-1, 1, 33)
+    v_iter = np.asarray(reg.var(xq, block_size=16))
+    v_dense = np.asarray(post.var(xq))
+    np.testing.assert_allclose(v_iter, v_dense, rtol=1e-6, atol=1e-9)

@@ -1,31 +1,46 @@
-"""Driver benchmark: Gram build + Cholesky solve wall-clock.
+"""Driver benchmark: the north-star N=1e5 conditioning wall-clock.
 
-Measures the end-to-end hot path of physics-informed GP conditioning
-(the ``train()`` equivalent, SURVEY.md §3.1): assemble the operator-
-transformed Gram ``L k L* (X, X)`` for the heat operator on a
-TensorProduct Matérn prior, factorize, and solve for the representer
-weights — all jitted on the accelerator.
+``BASELINE.json`` asks for "Gram build + Cholesky solve wall-clock at
+N=1e5" on the heat-operator config.  At N=1e5 the dense float32 Gram is
+40 GB and cannot exist on one chip, so the measured quantity is the
+equivalent end-to-end conditioning hot path in its gram-free form
+(``models/iterative.py``): every CG iteration STREAMS the operator-
+transformed Gram ``H k H* (X, X)`` through the tiled Pallas reduction
+(O(N²) pair evaluations, O(N) memory — the TPU-native analogue of the
+reference's KeOps strategy, SURVEY.md §5), preconditioned by a rank-m
+Nyström approximation.  Wall-clock covers: preconditioner construction
+(two Pallas Gram blocks + eigendecomposition) + the full PCG solve for
+the representer weights.
 
 The reference publishes no performance numbers (BASELINE.md): its stack
-is single-process CPU numpy/scipy in float64.  ``vs_baseline`` therefore
-reports the speedup over a faithful CPU float64 dense implementation of
-the same computation (measured at a smaller N and extrapolated by the
-exact O(N^2) gram / O(N^3) cholesky scaling laws).
+is single-process CPU numpy/scipy float64 with a DENSE gram + Cholesky.
+``vs_baseline`` therefore reports the speedup over that faithful dense
+CPU float64 implementation of the same conditioning problem (measured at
+a smaller N and extrapolated by the exact O(N^2) gram / O(N^3) cholesky
+scaling laws — an extrapolation, not a measurement; the dense CPU run at
+N=1e5 would take ~hours).
 
 Output: one JSON line
   {"metric": ..., "value": seconds, "unit": "s", "vs_baseline": speedup}
+plus '#'-prefixed diagnostics on stderr (iterations, residual, posterior
+eval time).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
 
 
-def _build_kernel():
+def _log(msg):
+    print(f"# bench: {msg}", file=sys.stderr, flush=True)
+
+
+def _build_kernels():
     import linpde_gp_tpu as lgt
     from linpde_gp_tpu.ops import diffops
     from linpde_gp_tpu.ops.transforms import apply_operator_to_kernel
@@ -38,49 +53,109 @@ def _build_kernel():
     k_hh = apply_operator_to_kernel(
         H, apply_operator_to_kernel(H, prior_cov, argnum=1), argnum=0
     )
-    return k_hh
+    k_cross = apply_operator_to_kernel(H, prior_cov, argnum=1)
+    return k_hh, k_cross
 
 
-def _accelerator_run(k_hh, X, Y, jitter):
+def _accelerator_run(k_hh, k_cross, X, Y, Xq, *, noise_rel, rank, tol, maxiter):
     import jax
     import jax.numpy as jnp
 
-    from linpde_gp_tpu.ops.pallas_gram import gram_matrix
+    from linpde_gp_tpu.ops.linalg.pcg import (
+        landmark_indices,
+        nystrom_preconditioner,
+        pcg,
+    )
+    from linpde_gp_tpu.ops.pallas_gram import (
+        kernel_term_specs,
+        pallas_gram,
+        pallas_gram_matvec,
+    )
 
     n = X.shape[0]
+    scale_obs, terms_obs = kernel_term_specs(k_hh)
+    scale_cross, terms_cross = kernel_term_specs(k_cross)
+    idx = np.asarray(landmark_indices(n, rank))
+
+    # Kernel diagonal k(x, x): factors with a sign(d) parity vanish at 0.
+    def _f0(f):
+        kind, s, poly, parity, pref = f
+        return 0.0 if parity else pref * poly[0]
+
+    diag = scale_obs * sum(
+        float(c) * float(np.prod([_f0(f) for f in fs])) for c, fs in terms_obs
+    )
 
     @jax.jit
-    def step(x, y):
-        gram = gram_matrix(k_hh, x)
-        gram = gram + jitter * jnp.eye(n, dtype=gram.dtype)
-        chol = jnp.linalg.cholesky(gram)
-        w = jax.scipy.linalg.cho_solve((chol, True), y)
-        return w
+    def condition(x, y, z):
+        # Streaming Gram matvec: K v (+ sigma^2 v), never materialized.
+        sigma_sq = jnp.asarray(noise_rel * diag, x.dtype)
+
+        def matvec(v):
+            out = pallas_gram_matvec(terms_obs, x, x, v)
+            if scale_obs != 1.0:
+                out = scale_obs * out
+            return out + sigma_sq * v
+
+        # Nyström preconditioner from two Pallas Gram blocks.
+        K_XZ = pallas_gram(terms_obs, x, z)
+        if scale_obs != 1.0:
+            K_XZ = scale_obs * K_XZ
+        K_ZZ = K_XZ[jnp.asarray(idx)]
+        M = nystrom_preconditioner(K_XZ, K_ZZ, sigma_sq)
+        res = pcg(matvec, y, M=M, tol=tol, maxiter=maxiter)
+        return res.x, res.iterations, res.relative_residual
+
+    @jax.jit
+    def posterior_mean_update(xq, x, w):
+        out = pallas_gram_matvec(terms_cross, xq, x, w)
+        return scale_cross * out if scale_cross != 1.0 else out
 
     x_dev = jnp.asarray(X)
     y_dev = jnp.asarray(Y)
+    z_dev = jnp.asarray(X[idx])
+    xq_dev = jnp.asarray(Xq)
 
     def run_once():
-        w = step(x_dev, y_dev)
+        w, iters, relres = condition(x_dev, y_dev, z_dev)
         w.block_until_ready()
         # Force a device->host readback: some PJRT transports complete
         # block_until_ready at enqueue time.
         wn = np.asarray(w[:8])
         assert np.all(np.isfinite(wn)), "non-finite representer weights"
-        return w
+        return w, int(iters), float(relres)
 
-    # Warmup / compile.
-    run_once()
+    _log(f"compiling / warming condition() at n={n} ...")
+    t0 = time.perf_counter()
+    w, iters, relres = run_once()
+    _log(f"first run (incl. compile): {time.perf_counter() - t0:.1f} s, "
+         f"iters={iters} relres={relres:.3e}")
+
     times = []
-    for _ in range(3):
+    for _ in range(2):
         t0 = time.perf_counter()
-        run_once()
+        w, iters, relres = run_once()
         times.append(time.perf_counter() - t0)
-    return min(times)
+    _log(f"steady-state conditioning: {min(times):.3f} s, iters={iters}, "
+         f"relres={relres:.3e}")
+
+    # Posterior-mean evaluation throughput (nq x n streaming cross-Gram).
+    t0 = time.perf_counter()
+    mu = posterior_mean_update(xq_dev, x_dev, w)
+    _ = np.asarray(mu[:8])
+    t_eval_cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    mu = posterior_mean_update(xq_dev, x_dev, w)
+    _ = np.asarray(mu[:8])
+    t_eval = time.perf_counter() - t0
+    _log(f"posterior mean eval at nq={Xq.shape[0]}: {t_eval:.3f} s "
+         f"(cold {t_eval_cold:.1f} s)")
+
+    return min(times), iters, relres, t_eval
 
 
-def _cpu_baseline(k_hh, n_target, jitter):
-    """Reference-style CPU float64 dense path, extrapolated to n_target."""
+def _cpu_baseline_seconds(k_hh, n_target, noise_rel):
+    """Reference-style CPU float64 dense gram+chol, extrapolated."""
     from linpde_gp_tpu.ops.pallas_gram import kernel_term_specs
 
     scale, terms = kernel_term_specs(k_hh)
@@ -120,7 +195,8 @@ def _cpu_baseline(k_hh, n_target, jitter):
             term = val if term is None else term * val
         term = coeff * term
         acc = term if acc is None else acc + term
-    gram = scale * acc + jitter * np.eye(n_base)
+    gram = scale * acc
+    gram = gram + (noise_rel * np.mean(np.diag(gram))) * np.eye(n_base)
     t_gram = time.perf_counter() - t0
 
     t0 = time.perf_counter()
@@ -139,6 +215,8 @@ def _enable_persistent_cache():
     compiles through the PJRT tunnel can take minutes cold."""
     import jax
 
+    if jax.default_backend() != "tpu":
+        return  # CPU cache entries are machine-specific (SIGILL risk)
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
     os.makedirs(cache_dir, exist_ok=True)
     try:
@@ -154,49 +232,57 @@ def main():
 
     _enable_persistent_cache()
 
-    import linpde_gp_tpu as lgt
-
     on_tpu = jax.default_backend() == "tpu"
-    n = int(os.environ.get("BENCH_N", 32768 if on_tpu else 2048))
-    jitter = 1e-5
+    n = int(os.environ.get("BENCH_N", 100_000 if on_tpu else 2048))
+    nq = int(os.environ.get("BENCH_NQ", 8192 if on_tpu else 512))
+    rank = int(os.environ.get("BENCH_RANK", 1024 if on_tpu else 128))
+    noise_rel = 1e-4
+    tol = 1e-5
+    maxiter = 256
 
-    k_hh = _build_kernel()
+    k_hh, k_cross = _build_kernels()
     rng = np.random.default_rng(0)
+    dtype = np.float32 if on_tpu else np.float64
 
     def make_data(n):
         # Space-time collocation points (uniform over the heat domain).
         X = np.stack(
             [rng.uniform(0.0, 5.0, n), rng.uniform(-1.0, 1.0, n)], axis=-1
-        ).astype(np.float32 if on_tpu else np.float64)
-        Y = rng.standard_normal(n).astype(X.dtype)
-        return X, Y
+        ).astype(dtype)
+        Y = rng.standard_normal(n).astype(dtype)
+        Xq = np.stack(
+            [rng.uniform(0.0, 5.0, nq), rng.uniform(-1.0, 1.0, nq)], axis=-1
+        ).astype(dtype)
+        return X, Y, Xq
 
     # The tunneled chip can be left with leaked buffers by dead sessions;
     # degrade to a smaller N instead of failing the whole benchmark.
     value = None
-    min_n = min(n, 1024)
+    min_n = min(n, 4096)
     while n >= min_n:
         try:
-            X, Y = make_data(n)
-            value = _accelerator_run(k_hh, X, Y, jitter)
+            X, Y, Xq = make_data(n)
+            value, iters, relres, t_eval = _accelerator_run(
+                k_hh, k_cross, X, Y, Xq,
+                noise_rel=noise_rel, rank=min(rank, n // 4),
+                tol=tol, maxiter=maxiter,
+            )
             break
         except Exception as exc:  # noqa: BLE001
-            import sys
-
-            print(
-                f"# bench: N={n} failed ({type(exc).__name__}); halving",
-                file=sys.stderr,
-                flush=True,
-            )
+            _log(f"N={n} failed ({type(exc).__name__}: {exc}); halving")
             n //= 2
     if value is None:
         raise RuntimeError("benchmark failed at every problem size")
-    baseline = _cpu_baseline(k_hh, n, jitter)
+    baseline = _cpu_baseline_seconds(k_hh, n, noise_rel)
+    _log(
+        f"extrapolated dense CPU f64 baseline at n={n}: {baseline:.0f} s "
+        f"({baseline / 3600.0:.2f} h)"
+    )
 
     print(
         json.dumps(
             {
-                "metric": f"heat_LkL_gram_chol_solve_n{n}",
+                "metric": f"heat_LkL_pcg_condition_n{n}",
                 "value": round(value, 6),
                 "unit": "s",
                 "vs_baseline": round(baseline / value, 3),

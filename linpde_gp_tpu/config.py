@@ -43,6 +43,12 @@ class _Config:
     #: Tile size used by the Pallas Gram assembly kernels.
     gram_tile: int = 256
 
+    #: Tile size of the Pallas gram-free matvec (both axes).  Larger
+    #: tiles amortize the per-tile x1/v re-streaming (the matvec output
+    #: is O(n) so HBM traffic is all inputs); bounded by VMEM — the tile
+    #: body holds ~6 (tile, tile) f32 temporaries.
+    matvec_tile: int = 512
+
     #: Minimum problem size (rows * cols) before the Pallas Gram path is
     #: preferred over plain broadcast evaluation.
     pallas_gram_threshold: int = 1 << 22

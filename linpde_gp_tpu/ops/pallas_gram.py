@@ -161,13 +161,17 @@ def _eval_groups(groups, d_fn):
 
 
 def _tile_kernel_body(terms: Sequence[TermSpec], ndims: int, x0_ref, x1_ref, out_ref):
-    # x0_ref/x1_ref: (d, T, 128) in VMEM with the coordinate in lane 0
-    # (slicing lane 0 is free; any other lane index stalls the Mosaic
-    # compiler with a cross-lane extract).  out_ref: (T0, T1).
+    # Layouts (see ``pallas_gram``): x0_ref (d, T0, 128) with the
+    # coordinate in lane 0 (slicing lane 0 is free; any other lane index
+    # stalls the Mosaic compiler with a cross-lane extract); x1_ref
+    # (d, 8, T1) with the coordinate in sublane 0 and POINTS ALONG LANES
+    # — 16x less HBM traffic than lane-padding both operands, which
+    # dominated wall-clock at N ~ 1e5 (d*n*128*4 bytes re-streamed per
+    # row-block).  out_ref: (T0, T1).
     groups = _collapse_terms(tuple(terms))
     out_ref[:, :] = _eval_groups(
         groups,
-        lambda i: x0_ref[i, :, 0][:, None] - x1_ref[i, :, 0][None, :],
+        lambda i: x0_ref[i, :, 0][:, None] - x1_ref[i, 0, :][None, :],
     )
 
 
@@ -176,7 +180,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 @functools.lru_cache(maxsize=None)
-def _build_pallas_gram(terms, ndims, n0p, n1p, tile0, tile1, dp, dtype_name, interpret):
+def _build_pallas_gram(terms, ndims, n0p, n1p, tile0, tile1, dtype_name, interpret):
     from jax.experimental import pallas as pl
 
     dtype = jnp.dtype(dtype_name)
@@ -189,11 +193,25 @@ def _build_pallas_gram(terms, ndims, n0p, n1p, tile0, tile1, dp, dtype_name, int
         grid=grid,
         in_specs=[
             pl.BlockSpec((ndims, tile0, 128), lambda i, j: (0, i, 0)),
-            pl.BlockSpec((ndims, tile1, 128), lambda i, j: (0, j, 0)),
+            pl.BlockSpec((ndims, 8, tile1), lambda i, j: (0, 0, j)),
         ],
         out_specs=pl.BlockSpec((tile0, tile1), lambda i, j: (i, j)),
         interpret=interpret,
     )
+
+
+def _pack_rows(X, n_pad, dtype):
+    """(n, d) -> (d, n_pad, 128): coordinate in lane 0 (sublane-major)."""
+    d = X.shape[1]
+    out = jnp.zeros((d, n_pad, 128), dtype)
+    return out.at[:, : X.shape[0], 0].set(X.astype(dtype).T)
+
+
+def _pack_lanes(X, n_pad, dtype):
+    """(n, d) -> (d, 8, n_pad): coordinate in sublane 0, points in lanes."""
+    d = X.shape[1]
+    out = jnp.zeros((d, 8, n_pad), dtype)
+    return out.at[:, 0, : X.shape[0]].set(X.astype(dtype).T)
 
 
 def pallas_gram(terms, X0: jnp.ndarray, X1: jnp.ndarray, *, interpret: bool | None = None) -> jnp.ndarray:
@@ -218,17 +236,11 @@ def pallas_gram(terms, X0: jnp.ndarray, X1: jnp.ndarray, *, interpret: bool | No
     tile1 = min(config.gram_tile, _round_up(n1, 128))
     n0p = _round_up(n0, tile0)
     n1p = _round_up(n1, tile1)
-    # Layout: (d, n, 128) with the coordinate in lane 0 — lane-0 slices
-    # are free on TPU while any other lane index stalls the Mosaic
-    # compiler.  X is tiny next to the (n0, n1) output, so the 128x
-    # inflation of the point arrays is negligible HBM traffic.
-    X0p = jnp.zeros((d, n0p, 128), dtype)
-    X0p = X0p.at[:, :n0, 0].set(X0.astype(dtype).T)
-    X1p = jnp.zeros((d, n1p, 128), dtype)
-    X1p = X1p.at[:, :n1, 0].set(X1.astype(dtype).T)
+    X0p = _pack_rows(X0, n0p, dtype)
+    X1p = _pack_lanes(X1, n1p, dtype)
 
     fn = _build_pallas_gram(
-        terms, d, n0p, n1p, tile0, tile1, 128, jnp.dtype(dtype).name, interpret
+        terms, d, n0p, n1p, tile0, tile1, jnp.dtype(dtype).name, interpret
     )
     out = fn(X0p, X1p)
     return out[:n0, :n1]
@@ -237,13 +249,15 @@ def pallas_gram(terms, X0: jnp.ndarray, X1: jnp.ndarray, *, interpret: bool | No
 def _matvec_body(terms, ndims, x0_ref, x1_ref, v_ref, out_ref):
     # Gram-free matvec tile: out[i-tile] += (G tile) @ v[j-tile].
     # Accumulates across the j grid dimension (KeOps-reduction mode).
+    # Layouts as in _tile_kernel_body: x0 (d, T0, 128) lane-0, x1
+    # (d, 8, T1) lane-packed.
     import jax.experimental.pallas as pl
 
     j = pl.program_id(1)
     groups = _collapse_terms(tuple(terms))
     acc = _eval_groups(
         groups,
-        lambda i: x0_ref[i, :, 0][:, None] - x1_ref[i, :, 0][None, :],
+        lambda i: x0_ref[i, :, 0][:, None] - x1_ref[i, 0, :][None, :],
     )
     partial = acc @ v_ref[:, :]  # (T0, r) — MXU
 
@@ -269,7 +283,7 @@ def _build_pallas_gram_matvec(terms, ndims, n0p, n1p, tile0, tile1, r, dtype_nam
         grid=grid,
         in_specs=[
             pl.BlockSpec((ndims, tile0, 128), lambda i, j: (0, i, 0)),
-            pl.BlockSpec((ndims, tile1, 128), lambda i, j: (0, j, 0)),
+            pl.BlockSpec((ndims, 8, tile1), lambda i, j: (0, 0, j)),
             pl.BlockSpec((tile1, r), lambda i, j: (j, 0)),
         ],
         out_specs=pl.BlockSpec((tile0, r), lambda i, j: (i, 0)),
@@ -302,12 +316,12 @@ def pallas_gram_matvec(terms, X0, X1, v, *, interpret: bool | None = None) -> jn
     rp = _round_up(r, 128)
     dtype = jnp.result_type(X0.dtype, v.dtype)
 
-    tile0 = min(config.gram_tile, _round_up(n0, 8))
-    tile1 = min(config.gram_tile, _round_up(n1, 128))
+    tile0 = min(config.matvec_tile, _round_up(n0, 8))
+    tile1 = min(config.matvec_tile, _round_up(n1, 128))
     n0p = _round_up(n0, tile0)
     n1p = _round_up(n1, tile1)
-    X0p = jnp.zeros((d, n0p, 128), dtype).at[:, :n0, 0].set(X0.astype(dtype).T)
-    X1p = jnp.zeros((d, n1p, 128), dtype).at[:, :n1, 0].set(X1.astype(dtype).T)
+    X0p = _pack_rows(X0, n0p, dtype)
+    X1p = _pack_lanes(X1, n1p, dtype)
     vp = jnp.zeros((n1p, rp), dtype).at[:n1, :r].set(v.astype(dtype))
 
     fn = _build_pallas_gram_matvec(

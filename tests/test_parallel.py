@@ -140,7 +140,7 @@ def test_distributed_condition_arbitrary_n():
     Y = np.sin(3 * X)
     noise = 1e-2  # keep the comparison well-conditioned
     w, chol = distributed_condition(
-        k, X, Y, mesh=mesh, noise_variance=noise, block_size=8
+        k, X, Y, mesh=mesh, noise_variance=noise, block_size=16
     )
     dense = np.asarray(k.matrix(jnp.asarray(X))) + noise * np.eye(n)
     w_ref = np.linalg.solve(dense, Y)
@@ -168,7 +168,7 @@ def test_distributed_cholesky_cyclic_matches_dense():
 
     mesh = make_mesh(8)
     rng = np.random.default_rng(3)
-    n, nb = 512, 32
+    n, nb = 256, 32
     A = rng.standard_normal((n, n))
     A = A @ A.T + n * np.eye(n)
     L = np.asarray(
@@ -195,7 +195,7 @@ def test_distributed_chol_factor_incremental_extension():
 
     mesh = make_mesh(8)
     rng_l = np.random.default_rng(7)
-    n, nb = 256, 16
+    n, nb = 256, 32
     A = rng_l.standard_normal((n, n))
     A = A @ A.T + n * np.eye(n)
     L = distributed_cholesky_cyclic(jnp.asarray(A), mesh=mesh, block_size=nb)
@@ -252,7 +252,7 @@ def test_distributed_conditioner_incremental_batches():
     n, m = 200, 2
     X = np.linspace(0.05, 0.95, n)
     Y = np.sin(6 * X)
-    cond = DistributedConditioner(mesh=mesh, block_size=16)
+    cond = DistributedConditioner(mesh=mesh, block_size=32)
     cond.condition(kLL, X, Y, noise_variance=1e-8)
 
     Xb = np.array([0.0, 1.0])

@@ -86,24 +86,34 @@ def _accelerator_run(k_hh, k_cross, X, Y, Xq, *, noise_rel, rank, tol, maxiter):
         float(c) * float(np.prod([_f0(f) for f in fs])) for c, fs in terms_obs
     )
 
+    # Mixed-precision PCG (the refine.py recipe at gram-free scale): the
+    # O(N²)-pair streaming matvec runs in float32 Pallas, while the CG
+    # vector arithmetic and the preconditioner APPLICATION run in float64
+    # (O(N) / O(N·m) emulated work — negligible).  Pure-f32 CG stalls at
+    # ~6e-4 relative residual on this system (cond ≈ 1.6e7 ≈ 1/eps32,
+    # measured); with f64 vectors the floor is the matvec noise (~4e-6).
+    hi_dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    lo_dtype = jnp.float32
+
     @jax.jit
     def condition(x, y, z):
-        # Streaming Gram matvec: K v (+ sigma^2 v), never materialized.
-        sigma_sq = jnp.asarray(noise_rel * diag, x.dtype)
+        sigma_sq = jnp.asarray(noise_rel * diag, hi_dtype)
 
         def matvec(v):
-            out = pallas_gram_matvec(terms_obs, x, x, v)
+            out = pallas_gram_matvec(terms_obs, x, x, v.astype(lo_dtype))
+            out = out.astype(hi_dtype)
             if scale_obs != 1.0:
                 out = scale_obs * out
             return out + sigma_sq * v
 
-        # Nyström preconditioner from two Pallas Gram blocks.
+        # Nyström preconditioner from two float32 Pallas Gram blocks
+        # (applied in float64 by NystromPreconditioner itself).
         K_XZ = pallas_gram(terms_obs, x, z)
         if scale_obs != 1.0:
             K_XZ = scale_obs * K_XZ
         K_ZZ = K_XZ[jnp.asarray(idx)]
-        M = nystrom_preconditioner(K_XZ, K_ZZ, sigma_sq)
-        res = pcg(matvec, y, M=M, tol=tol, maxiter=maxiter)
+        M = nystrom_preconditioner(K_XZ, K_ZZ, sigma_sq.astype(lo_dtype))
+        res = pcg(matvec, y.astype(hi_dtype), M=M, tol=tol, maxiter=maxiter)
         return res.x, res.iterations, res.relative_residual
 
     @jax.jit
@@ -229,6 +239,12 @@ def _enable_persistent_cache():
 
 def main():
     import jax
+
+    # Float64 CG vectors on top of float32 Pallas kernels (emulated f64
+    # is O(N) here), and full-f32 matmuls inside eigh/triangular_solve —
+    # the TPU bf16 matmul default corrupts the preconditioner.
+    jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_default_matmul_precision", "highest")
 
     _enable_persistent_cache()
 

@@ -88,7 +88,7 @@ def _factor_code(name: str, kind: str, s: float, poly, parity: int,
     expquad: ``pref * P(s*d) * exp(-(s*d)^2)``.
     """
     lines = []
-    if kind == "matern":
+    if kind in ("matern", "wendland"):
         lines.append(f"      const double t_{name} = {_fmt(s)} * std::fabs({dvar});")
         tv = f"t_{name}"
     elif kind == "expquad":
@@ -101,6 +101,11 @@ def _factor_code(name: str, kind: str, s: float, poly, parity: int,
         lines.append(f"      p_{name} = p_{name} * {tv} + {_fmt(c)};")
     if kind == "matern":
         expr = f"{_fmt(pref)} * p_{name} * std::exp(-{tv})"
+        if parity:
+            expr += f" * sgn({dvar})"
+    elif kind == "wendland":
+        # Compact support: polynomial inside [0, 1], zero outside.
+        expr = f"{_fmt(pref)} * ({tv} <= 1.0 ? p_{name} : 0.0)"
         if parity:
             expr += f" * sgn({dvar})"
     else:

@@ -166,11 +166,21 @@ class NystromPreconditioner(NamedTuple):
     sigma_sq: jnp.ndarray
 
     def __call__(self, r: jnp.ndarray) -> jnp.ndarray:
-        s2 = self.sigma_sq
-        tail = self.lam[-1] + s2  # λ_m + σ²: damping of the unresolved tail
-        coeff = tail / (self.lam + s2) - 1.0
+        # Apply in the RESIDUAL's precision (mixed-precision CG passes
+        # float64 vectors against float32 factors — same lesson as
+        # ops/linalg/refine.py: an inexactly-applied preconditioner stops
+        # being SPD once the residual drops below its noise).  Matmul
+        # precision HIGHEST: the TPU bf16 default (~4e-3 rel error)
+        # breaks CG outright.
+        U = self.U.astype(r.dtype)
+        lam = self.lam.astype(r.dtype)
+        s2 = self.sigma_sq.astype(r.dtype)
+        tail = lam[-1] + s2  # λ_m + σ²: damping of the unresolved tail
+        coeff = tail / (lam + s2) - 1.0
         c = coeff if r.ndim == 1 else coeff[:, None]
-        return (self.U @ (c * (self.U.T @ r)) + r) / tail
+        hi = jax.lax.Precision.HIGHEST
+        ur = jnp.matmul(U.T, r, precision=hi)
+        return (jnp.matmul(U, c * ur, precision=hi) + r) / tail
 
 
 @partial(jax.jit, static_argnames=())
@@ -188,12 +198,26 @@ def _nystrom_factors(K_XZ: jnp.ndarray, K_ZZ: jnp.ndarray):
         # an O(m^3) eigh, orders faster on TPU at north-star sizes
         # (n = 1e5, m = 512).  U = B V S^{-1} reproduces the left
         # singular vectors up to round-off (ample for preconditioning).
-        G = B.T @ B
+        #
+        # Trailing eigenpairs at round-off level are NOISE: normalizing
+        # their columns by sqrt(lam) ~ 0 manufactures huge spurious
+        # directions that destroy the preconditioner's SPD-ness (measured
+        # on TPU float32 at n=1e5, m=1024: CG diverges).  Truncate below
+        # ~10 eps relative and zero the dropped columns — the tail
+        # damping then starts at the smallest KEPT eigenvalue.
+        hi = jax.lax.Precision.HIGHEST
+        G = jnp.matmul(B.T, B, precision=hi)
         lam, V = jnp.linalg.eigh(G)  # ascending
         lam = jnp.maximum(lam[::-1], 0.0)
         V = V[:, ::-1]
-        s = jnp.sqrt(jnp.maximum(lam, jnp.finfo(B.dtype).tiny))
-        U = (B @ V) / s[None, :]
+        floor = 100.0 * jnp.finfo(B.dtype).eps * lam[0]
+        keep = lam > floor
+        s = jnp.sqrt(jnp.where(keep, lam, 1.0))
+        U = jnp.matmul(B, V, precision=hi) * jnp.where(keep, 1.0 / s, 0.0)[None, :]
+        # Dropped eigenvalues collapse onto the kept minimum so the tail
+        # damping (lam[-1] in the preconditioner) is a kept value.
+        lam_min_kept = jnp.min(jnp.where(keep, lam, lam[0]))
+        lam = jnp.where(keep, lam, lam_min_kept)
         return U, lam
     U, S, _ = jnp.linalg.svd(B, full_matrices=False)
     return U, S**2

@@ -71,10 +71,12 @@ def _collapse_terms(terms: tuple) -> tuple:
     order: list = []
     for coeff, factors in terms:
         dims_key = tuple((f[0], float(f[1])) for f in factors)
-        # Parity (an explicit sign(d) factor) only applies to the
-        # even-polynomial matern family; expquad polynomials are in the
+        # Parity (an explicit sign(d) factor) applies to the |d|-variable
+        # families (matern, wendland); expquad polynomials are in the
         # signed variable already.
-        parity = tuple(int(f[3]) if f[0] == "matern" else 0 for f in factors)
+        parity = tuple(
+            int(f[3]) if f[0] in ("matern", "wendland") else 0 for f in factors
+        )
         key = (dims_key, parity)
         c = float(coeff)
         tensor = np.asarray([1.0], dtype=np.float64)
@@ -143,6 +145,9 @@ def _eval_groups(groups, d_fn):
                 if kind == "matern":
                     t = scale * jnp.abs(d(i))
                     e = jnp.exp(-t)
+                elif kind == "wendland":
+                    t = scale * jnp.abs(d(i))
+                    e = (t <= 1.0).astype(t.dtype)  # compact support cutoff
                 else:
                     t = scale * d(i)
                     e = jnp.exp(-(t * t))
@@ -259,7 +264,16 @@ def _matvec_body(terms, ndims, x0_ref, x1_ref, v_ref, out_ref):
         groups,
         lambda i: x0_ref[i, :, 0][:, None] - x1_ref[i, 0, :][None, :],
     )
-    partial = acc @ v_ref[:, :]  # (T0, r) — MXU
+    # (T0, r) on the MXU.  Precision HIGHEST is load-bearing: the TPU
+    # default routes f32 dots through one bf16 pass (~4e-3 relative
+    # error, measured), which breaks CG convergence; the MXU is idle
+    # here so the multi-pass f32 product is free.
+    partial = jax.lax.dot_general(
+        acc,
+        v_ref[:, :],
+        (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
     @pl.when(j == 0)
     def _():

@@ -22,7 +22,12 @@ import numpy as np
 from ..kernels.base import CovarianceFunction
 from ..kernels.stationary import ExpQuad, Matern
 from ..kernels.tensor_product import TensorProduct
-from .univariate import UnivariateFactor, expquad_factor, matern_factor
+from .univariate import (
+    UnivariateFactor,
+    expquad_factor,
+    matern_factor,
+    wendland_factor,
+)
 
 
 def product_factor_specs(kernel: CovarianceFunction):
@@ -44,6 +49,14 @@ def product_factor_specs(kernel: CovarianceFunction):
         l = float(np.ravel(kernel.lengthscales)[0]) if kernel.lengthscales.size else float(kernel.lengthscales)
         nu = kernel.nu
         return [lambda m, n, l=l, nu=nu: matern_factor(nu, l, m, n)]
+    from ..kernels.wendland import WendlandCovarianceFunction
+
+    if isinstance(kernel, WendlandCovarianceFunction):
+        if kernel.input_size > 1:
+            return None  # isotropic multivariate Wendland is radial
+        l = float(np.ravel(kernel.lengthscales)[0]) if np.ndim(kernel.lengthscales) else float(kernel.lengthscales)
+        dd, kk = kernel.d, kernel.k
+        return [lambda m, n, l=l, dd=dd, kk=kk: wendland_factor(dd, kk, l, m, n)]
     if isinstance(kernel, TensorProduct):
         specs = []
         for f in kernel.factors:

@@ -41,12 +41,16 @@ from ...models.functions.polynomial import RationalPolynomial
 
 class UnivariateFactor:
     """A jittable 1-D kernel factor ``f(x0, x1)`` = polynomial profile
-    times exponential, with optional sign parity (odd total order)."""
+    times envelope, with optional sign parity (odd total order).
+
+    Kinds: ``matern`` (``P(t) e^{-t}``, ``t = c|d|``), ``expquad``
+    (``P(z) e^{-z²}``, ``z = c d`` signed), ``wendland``
+    (``P(t) 1_{t<=1}``, ``t = |d|/l`` — compact support)."""
 
     __slots__ = ("kind", "scale", "poly", "parity", "prefactor")
 
     def __init__(self, kind: str, scale: float, poly, parity: int, prefactor: float):
-        assert kind in ("matern", "expquad")
+        assert kind in ("matern", "expquad", "wendland")
         self.kind = kind
         self.scale = float(scale)
         self.poly = tuple(float(c) for c in poly)
@@ -58,6 +62,11 @@ class UnivariateFactor:
         if self.kind == "matern":
             t = self.scale * jnp.abs(d)
             val = self._horner(t) * jnp.exp(-t)
+            if self.parity:
+                val = val * jnp.sign(d)
+        elif self.kind == "wendland":
+            t = self.scale * jnp.abs(d)
+            val = jnp.where(t <= 1.0, self._horner(t), 0.0)
             if self.parity:
                 val = val * jnp.sign(d)
         else:
@@ -128,3 +137,43 @@ def expquad_factor(lengthscale: float, m: int, n: int) -> UnivariateFactor:
     poly = _gaussian_derivative_polynomial(N)
     prefactor = ((-1.0) ** n) * s**N
     return UnivariateFactor("expquad", s, poly.coefficients, parity=0, prefactor=prefactor)
+
+
+@functools.lru_cache(maxsize=None)
+def _wendland_derivative_polynomial(d_dim: int, k: int, N: int) -> RationalPolynomial:
+    from ..kernels.wendland import wendland_polynomial
+
+    poly = wendland_polynomial(d_dim, k)
+    for _ in range(N):
+        poly = poly.differentiate()
+    return poly
+
+
+def wendland_factor(
+    d_dim: int, k: int, lengthscale: float, m: int, n: int
+) -> UnivariateFactor:
+    """``∂^m_{x0} ∂^n_{x1}`` of a 1-D Wendland ``φ_{d,k}`` kernel.
+
+    ``φ(|d|/l)`` with polynomial ``p`` on ``[0, 1]`` gives
+
+        ∂^m_{x0} ∂^n_{x1} k = (-1)^n l^{-N} sign(d)^{N mod 2}
+                              p^{(N)}(t) 1_{t<=1},   N = m + n <= 2k.
+
+    ``φ_{d,k} ∈ C^{2k}`` guarantees both boundary continuity (``p``
+    vanishes to order ``floor(d/2)+2k+1`` at ``t = 1``) and
+    ``p^{(N)}(0) = 0`` for odd ``N <= 2k`` — so ``jnp.sign(0) = 0``
+    selects the exact diagonal limit, same as the Matérn family (the
+    reference has NO Wendland diffop closed forms; autodiff through
+    ``|d|`` breaks on the diagonal — SURVEY.md §7 hard part #2)."""
+    N = m + n
+    if N > 2 * k:
+        raise ValueError(
+            f"Wendland(d={d_dim}, k={k}) is only {2 * k}-times "
+            f"differentiable; requested total derivative order {N}."
+        )
+    c = 1.0 / float(lengthscale)
+    poly = _wendland_derivative_polynomial(int(d_dim), int(k), N)
+    prefactor = ((-1.0) ** n) * c**N
+    return UnivariateFactor(
+        "wendland", c, poly.coefficients, parity=N % 2, prefactor=prefactor
+    )

@@ -240,10 +240,11 @@ def _enable_persistent_cache():
 def main():
     import jax
 
-    # Float64 CG vectors on top of float32 Pallas kernels (emulated f64
-    # is O(N) here), and full-f32 matmuls inside eigh/triangular_solve —
-    # the TPU bf16 matmul default corrupts the preconditioner.
-    jax.config.update("jax_enable_x64", True)
+    # Full-f32 matmuls inside eigh/triangular_solve — the TPU bf16
+    # matmul default corrupts the preconditioner.  (Global x64 is NOT an
+    # option here: Pallas index maps trace to i64 under x64 and Mosaic
+    # fails to legalize them, and f64 matmuls crash this XLA's
+    # TransposeFolding pass — both observed on the chip.)
     jax.config.update("jax_default_matmul_precision", "highest")
 
     _enable_persistent_cache()
@@ -252,7 +253,12 @@ def main():
     n = int(os.environ.get("BENCH_N", 100_000 if on_tpu else 2048))
     nq = int(os.environ.get("BENCH_NQ", 8192 if on_tpu else 512))
     rank = int(os.environ.get("BENCH_RANK", 1024 if on_tpu else 128))
-    noise_rel = 1e-4
+    # 1% relative observation noise: finite-precision CG's attainable
+    # residual scales with eps * cond(A); at noise 1e-4 the f32 floor sits
+    # at ~6e-4 (measured) — above any useful tolerance — while at 1e-2
+    # the floor is ~6e-6 and the rank-1024 Nyström preconditioner drives
+    # convergence in O(10) iterations.
+    noise_rel = 1e-2
     tol = 1e-5
     maxiter = 256
 

@@ -143,84 +143,68 @@ def pcg_block(
 
 
 class NystromPreconditioner(NamedTuple):
-    """Rank-``m`` eigenbasis of the Nyström approximation of the Gram.
+    """Tail-damped Nyström preconditioner ``P = δ I + B Bᵀ`` with
+    ``B = K_XZ L_ZZ^{-T}`` (so ``B Bᵀ`` is the rank-``m`` Nyström
+    approximant) and ``δ = λ_m + σ²`` — the damping of Frangella, Tropp
+    & Udell (SIMAX 2023): the unresolved tail is scaled by the smallest
+    RESOLVED eigenvalue plus noise rather than ``σ²`` alone, which
+    operator-transformed kernels need (their differentiation-roughened
+    spectra decay too slowly for a noise-dominated tail; measured
+    preconditioned condition number on the heat ``H k H*`` Gram: 5.3e5
+    plain-Woodbury vs ~λ_m/σ² damped).
 
-    ``U`` is (n, m) with orthonormal columns, ``lam`` the corresponding
-    eigenvalue estimates of the *noise-free* kernel matrix, ``sigma_sq``
-    the noise term the full system adds to the diagonal.
+    Applied via the Cholesky-based Woodbury identity
 
-    Applies the randomized-Nyström preconditioner of Frangella, Tropp &
-    Udell (SIMAX 2023): the unresolved tail subspace is damped by
-    ``λ_m + σ²`` (the smallest RESOLVED eigenvalue plus noise) rather
-    than ``σ²`` alone.  For operator-transformed kernels — whose spectra
-    decay slowly because differentiation roughens the kernel — the tail
-    is NOT noise-dominated, and the plain Woodbury inverse mis-scales it
-    by orders of magnitude (measured on the heat ``H k H*`` Gram:
-    preconditioned condition number 5.3e5 plain vs ~λ_m/σ² with tail
-    damping).  When the tail is noise-dominated (λ_m ≪ σ²) this reduces
-    to the Woodbury formula.
+        P⁻¹ r = (r − B (δI + BᵀB)⁻¹ Bᵀ r) / δ
+
+    — direct triangular operations only.  An eigenvector-based form is
+    numerically fragile on TPU: float32 ``eigh`` eigenvectors carry
+    ~1e-3 error, and normalizing near-null columns by ``1/sqrt(λ)``
+    manufactures spurious directions that break CG outright (measured:
+    divergence at n=1e5).  Eigenvalues enter only through the scalar δ.
     """
 
-    U: jnp.ndarray
-    lam: jnp.ndarray
-    sigma_sq: jnp.ndarray
+    B: jnp.ndarray  # (n, m)
+    chol_C: jnp.ndarray  # (m, m) lower Cholesky of δI + BᵀB
+    delta: jnp.ndarray  # λ_m + σ²
 
     def __call__(self, r: jnp.ndarray) -> jnp.ndarray:
         # Apply in the RESIDUAL's precision (mixed-precision CG passes
-        # float64 vectors against float32 factors — same lesson as
-        # ops/linalg/refine.py: an inexactly-applied preconditioner stops
-        # being SPD once the residual drops below its noise).  Matmul
-        # precision HIGHEST: the TPU bf16 default (~4e-3 rel error)
-        # breaks CG outright.
-        U = self.U.astype(r.dtype)
-        lam = self.lam.astype(r.dtype)
-        s2 = self.sigma_sq.astype(r.dtype)
-        tail = lam[-1] + s2  # λ_m + σ²: damping of the unresolved tail
-        coeff = tail / (lam + s2) - 1.0
-        c = coeff if r.ndim == 1 else coeff[:, None]
+        # higher-precision vectors against float32 factors — same lesson
+        # as ops/linalg/refine.py).  Matmul precision HIGHEST: the TPU
+        # bf16 default (~4e-3 rel error) breaks CG outright.
+        B = self.B.astype(r.dtype)
+        chol_C = self.chol_C.astype(r.dtype)
+        delta = self.delta.astype(r.dtype)
         hi = jax.lax.Precision.HIGHEST
-        ur = jnp.matmul(U.T, r, precision=hi)
-        return (jnp.matmul(U, c * ur, precision=hi) + r) / tail
+        vector = r.ndim == 1
+        rr = r[:, None] if vector else r
+        br = jnp.matmul(B.T, rr, precision=hi)
+        w = jax.scipy.linalg.cho_solve((chol_C, True), br)
+        out = (rr - jnp.matmul(B, w, precision=hi)) / delta
+        return out[:, 0] if vector else out
 
 
 @partial(jax.jit, static_argnames=())
-def _nystrom_factors(K_XZ: jnp.ndarray, K_ZZ: jnp.ndarray):
+def _nystrom_factors(K_XZ: jnp.ndarray, K_ZZ: jnp.ndarray, sigma_sq):
     m = K_ZZ.shape[0]
-    n = K_XZ.shape[0]
+    eps = jnp.finfo(K_ZZ.dtype).eps
     # Stabilized pivot factor: W + δI with δ relative to its scale.
-    delta = jnp.finfo(K_ZZ.dtype).eps * jnp.trace(K_ZZ) * m
-    L = jnp.linalg.cholesky(K_ZZ + delta * jnp.eye(m, dtype=K_ZZ.dtype))
+    stab = eps * jnp.trace(K_ZZ) * m
+    L = jnp.linalg.cholesky(K_ZZ + stab * jnp.eye(m, dtype=K_ZZ.dtype))
     # B = K_XZ L^{-T}  =>  B Bᵀ = K_XZ W⁻¹ K_ZXᵀ  (the Nyström approximant).
     B = jax.scipy.linalg.solve_triangular(L, K_XZ.T, lower=True).T
-    if n >= 8 * m:
-        # Tall block: eigendecompose the m x m normal matrix instead of a
-        # thin SVD of the n x m block — one (m, n) @ (n, m) MXU matmul +
-        # an O(m^3) eigh, orders faster on TPU at north-star sizes
-        # (n = 1e5, m = 512).  U = B V S^{-1} reproduces the left
-        # singular vectors up to round-off (ample for preconditioning).
-        #
-        # Trailing eigenpairs at round-off level are NOISE: normalizing
-        # their columns by sqrt(lam) ~ 0 manufactures huge spurious
-        # directions that destroy the preconditioner's SPD-ness (measured
-        # on TPU float32 at n=1e5, m=1024: CG diverges).  Truncate below
-        # ~10 eps relative and zero the dropped columns — the tail
-        # damping then starts at the smallest KEPT eigenvalue.
-        hi = jax.lax.Precision.HIGHEST
-        G = jnp.matmul(B.T, B, precision=hi)
-        lam, V = jnp.linalg.eigh(G)  # ascending
-        lam = jnp.maximum(lam[::-1], 0.0)
-        V = V[:, ::-1]
-        floor = 100.0 * jnp.finfo(B.dtype).eps * lam[0]
-        keep = lam > floor
-        s = jnp.sqrt(jnp.where(keep, lam, 1.0))
-        U = jnp.matmul(B, V, precision=hi) * jnp.where(keep, 1.0 / s, 0.0)[None, :]
-        # Dropped eigenvalues collapse onto the kept minimum so the tail
-        # damping (lam[-1] in the preconditioner) is a kept value.
-        lam_min_kept = jnp.min(jnp.where(keep, lam, lam[0]))
-        lam = jnp.where(keep, lam, lam_min_kept)
-        return U, lam
-    U, S, _ = jnp.linalg.svd(B, full_matrices=False)
-    return U, S**2
+    hi = jax.lax.Precision.HIGHEST
+    C0 = jnp.matmul(B.T, B, precision=hi)  # BᵀB: eigenvalues of BBᵀ
+    C0 = 0.5 * (C0 + C0.T)
+    # λ_m (smallest Nyström eigenvalue) — eigenVALUES only; clamp the
+    # round-off tail to eps-relative of the largest.
+    lam = jnp.linalg.eigvalsh(C0)
+    lam_max = jnp.maximum(lam[-1], 0.0)
+    lam_m = jnp.clip(lam[0], 100.0 * eps * lam_max, None)
+    delta = lam_m + jnp.asarray(sigma_sq, K_ZZ.dtype)
+    chol_C = jnp.linalg.cholesky(C0 + delta * jnp.eye(m, dtype=C0.dtype))
+    return B, chol_C, delta
 
 
 def nystrom_preconditioner(
@@ -228,13 +212,15 @@ def nystrom_preconditioner(
     K_ZZ: jnp.ndarray,
     sigma_sq,
 ) -> NystromPreconditioner:
-    """Build the Woodbury inverse of ``Nyström(K) + σ² I``.
+    """Build the tail-damped inverse of ``Nyström(K) + σ² I``.
 
     ``K_XZ``: (n, m) kernel block against ``m`` landmark points;
     ``K_ZZ``: (m, m) landmark Gram; ``sigma_sq``: diagonal noise.
     """
-    U, lam = _nystrom_factors(jnp.asarray(K_XZ), jnp.asarray(K_ZZ))
-    return NystromPreconditioner(U, lam, jnp.asarray(sigma_sq, dtype=U.dtype))
+    B, chol_C, delta = _nystrom_factors(
+        jnp.asarray(K_XZ), jnp.asarray(K_ZZ), sigma_sq
+    )
+    return NystromPreconditioner(B, chol_C, delta)
 
 
 def landmark_indices(n: int, m: int) -> jnp.ndarray:

@@ -198,7 +198,64 @@ class DistributedConditioner:
 
     def weights(self) -> jnp.ndarray:
         """Representer weights for all batches (padding rows stripped)."""
-        rhs = jnp.concatenate(self._resids)
-        w = self._factor.solve(rhs)
-        # Strip the identity-padding rows of the first batch.
+        w = self._weights_full()
         return jnp.concatenate([w[: self._n0], w[self._n_pad :]])
+
+    def _weights_full(self) -> jnp.ndarray:
+        """Weights in the factor's internal (padded) row layout."""
+        rhs = jnp.concatenate(self._resids)
+        return self._factor.solve(rhs)
+
+    def posterior_eval(
+        self,
+        cross_kernels,
+        prior_kernel,
+        Xq,
+        *,
+        with_std: bool = True,
+    ):
+        """Posterior mean (and std) at query points, backed by the
+        MESH-SHARDED factor: the std update solves ``L y = U`` through
+        :func:`distributed_tri_solve` (multi-RHS) against the row-sharded
+        base block plus the Schur-extension chain — the factor is never
+        replicated or refactorized (reference equivalent:
+        ``_conditional.py:223-251``, which triangular-solves against the
+        cached block Cholesky).
+
+        ``cross_kernels``: one kernel per conditioned batch, evaluating
+        ``L_i k`` — i.e. ``k_i(X_i, xq)`` blocks; ``prior_kernel``: the
+        plain prior kernel (pointwise variance).  Assumes a zero-mean
+        prior (the conditioner's residual convention).
+        """
+        assert self._factor is not None, "call condition() first"
+        from ..ops.pallas_gram import gram_matrix
+
+        in_shape = prior_kernel.input_shape
+        Xq = jnp.asarray(Xq).reshape((-1,) + in_shape)
+        nq = Xq.shape[0]
+
+        blocks = []
+        for i, (k_c, X_i) in enumerate(zip(cross_kernels, self._Xs)):
+            C = gram_matrix(
+                k_c,
+                X_i,
+                Xq,
+            )  # (n_i, nq)
+            if i == 0 and self._n_pad != self._n0:
+                C = jnp.concatenate(
+                    [C, jnp.zeros((self._n_pad - self._n0, nq), C.dtype)],
+                    axis=0,
+                )
+            blocks.append(C)
+        U = jnp.concatenate(blocks, axis=0)  # (size, nq)
+
+        w = self._weights_full()
+        mean = U.T @ w
+        if not with_std:
+            return mean
+
+        y = self._factor._solve_lower(U)  # distributed multi-RHS forward
+        var_update = jnp.sum(y**2, axis=0)
+        prior_var = prior_kernel(Xq)
+        std = jnp.sqrt(jnp.maximum(prior_var - var_update, 0.0))
+        return mean, std

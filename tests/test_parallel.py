@@ -267,3 +267,53 @@ def test_distributed_conditioner_incremental_batches():
     )
     w_ref = scipy.linalg.solve(G, np.concatenate([Y, Yb]), assume_a="pos")
     np.testing.assert_allclose(w, w_ref, rtol=0, atol=1e-9 * np.abs(w_ref).max())
+
+
+def test_distributed_posterior_eval_mean_and_std():
+    """Posterior mean/std against the MESH-SHARDED factor (multi-RHS
+    distributed forward solve) must match the dense single-device
+    posterior — the factor is never replicated (VERDICT round-1 item 5;
+    reference equivalent ``_conditional.py:223-251``)."""
+    from linpde_gp_tpu.ops import diffops
+    from linpde_gp_tpu.ops.transforms import apply_operator_to_kernel
+    from linpde_gp_tpu.parallel import DistributedConditioner
+
+    mesh = make_mesh(8)
+    k = 2.0**2 * lgt.kernels.Matern((), nu=2.5, lengthscales=0.8)
+    prior = lgt.GaussianProcess(lgt.functions.Zero(()), k)
+    D = -1.0 * diffops.Laplacian(())
+    kDD = apply_operator_to_kernel(
+        D, apply_operator_to_kernel(D, k, argnum=1), argnum=0
+    )
+    kD_cross = apply_operator_to_kernel(D, k, argnum=0)  # D k (X, .)
+
+    n = 96
+    X = np.linspace(-0.95, 0.95, n)
+    Y = np.full(n, 2.0)
+    noise = 1e-8
+
+    cond = DistributedConditioner(mesh=mesh, block_size=16)
+    cond.condition(kDD, X, Y, noise_variance=noise, jitter=0.0)
+    Xb = np.array([-1.0, 1.0])
+    Yb = np.array([0.0, 1.0])
+    cond.extend([kD_cross], k, Xb, Yb, noise_variance=noise, jitter=0.0)
+
+    xq = np.linspace(-1.0, 1.0, 41)
+    # Cross kernels against the QUERY evaluation functional: D k and k.
+    mean, std = cond.posterior_eval([kD_cross, k], k, xq, with_std=True)
+
+    # Dense oracle through the engine.
+    post = prior.condition_on_observations(
+        Y, X=X, L=D,
+        b=lgt.models.randvars.Normal(np.zeros(n), noise * np.eye(n)),
+    )
+    post = post.condition_on_observations(
+        Yb, X=Xb,
+        b=lgt.models.randvars.Normal(np.zeros(2), noise * np.eye(2)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(mean), np.asarray(post.mean(xq)), rtol=0, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(std), np.asarray(post.std(xq)), rtol=1e-6, atol=1e-8
+    )

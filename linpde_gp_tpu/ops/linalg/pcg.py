@@ -74,12 +74,18 @@ def pcg(
         Ap = matvec(p)
         alpha = rz / jnp.vdot(p, Ap)
         x = x + alpha * p
-        r = r - alpha * Ap
-        z = M(r)
-        rz_new = jnp.vdot(r, z)
-        beta = rz_new / rz
+        r_new = r - alpha * Ap
+        z = M(r_new)
+        rz_new = jnp.vdot(r_new, z)
+        # Polak–Ribière beta (flexible CG): in exact arithmetic z'r = 0
+        # and this equals Fletcher–Reeves, but with an INEXACT operator
+        # (float32 streaming Pallas matvec, ~4e-6 relative noise) FR
+        # loses conjugacy and diverges once the residual nears the noise
+        # floor (measured on TPU at n=1e5: relres 0.22 -> 3.0 over 20
+        # iterations); PR self-corrects, clamped at 0 (= restart).
+        beta = jnp.maximum((rz_new - jnp.vdot(z, r)) / rz, 0.0)
         p = z + beta * p
-        return x, r, p, rz_new, k + 1
+        return x, r_new, p, rz_new, k + 1
 
     x, r, _, _, k = jax.lax.while_loop(cond, body, (x, r, p, rz, jnp.array(0)))
     relres = jnp.linalg.norm(r) / jnp.where(b_norm > 0, b_norm, 1.0)
@@ -130,12 +136,17 @@ def pcg_block(
         pAp = jnp.sum(P * AP, axis=0)
         alpha = jnp.where(active, rz / jnp.where(pAp != 0, pAp, 1.0), 0.0)
         X = X + alpha[None, :] * P
-        R = R - alpha[None, :] * AP
-        Z = M(R)
-        rz_new = jnp.sum(R * Z, axis=0)
-        beta = jnp.where(active, rz_new / jnp.where(rz != 0, rz, 1.0), 0.0)
+        R_new = R - alpha[None, :] * AP
+        Z = M(R_new)
+        rz_new = jnp.sum(R_new * Z, axis=0)
+        # Polak–Ribière beta per column (see pcg: flexible CG under an
+        # inexact streaming matvec), clamped at 0 (= restart).
+        pr = rz_new - jnp.sum(Z * R, axis=0)
+        beta = jnp.where(
+            active, jnp.maximum(pr / jnp.where(rz != 0, rz, 1.0), 0.0), 0.0
+        )
         P = Z + beta[None, :] * P
-        return X, R, P, jnp.where(active, rz_new, rz), k + 1
+        return X, R_new, P, jnp.where(active, rz_new, rz), k + 1
 
     X, R, _, _, k = jax.lax.while_loop(cond, body, (X, R, P, rz, jnp.array(0)))
     relres = jnp.max(jnp.linalg.norm(R, axis=0) / jnp.where(b_norm > 0, b_norm, 1.0))

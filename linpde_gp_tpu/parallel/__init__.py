@@ -6,6 +6,7 @@ from .gram import sharded_gram
 from .cholesky import (
     distributed_chol_solve,
     distributed_cholesky,
+    distributed_cholesky_2d,
     distributed_cholesky_cyclic,
     distributed_tri_solve,
 )
@@ -20,6 +21,7 @@ __all__ = [
     "replicated",
     "sharded_gram",
     "distributed_cholesky",
+    "distributed_cholesky_2d",
     "distributed_cholesky_cyclic",
     "distributed_chol_solve",
     "distributed_tri_solve",

@@ -306,6 +306,146 @@ def distributed_cholesky_cyclic(
     return chol_cyclic[inv_j]
 
 
+def distributed_cholesky_2d(
+    gram: jnp.ndarray,
+    *,
+    mesh: Mesh,
+    block_size: int = 256,
+    jitter: float | None = None,
+) -> jnp.ndarray:
+    """2-D block-cyclic distributed Cholesky (ScaLAPACK ``pdpotrf``
+    layout) over a ``(rows: Pr, cols: Pc)`` mesh with ``Pr | Pc``.
+
+    Matrix block ``(i, j)`` lives on device ``(i mod Pr, j mod Pc)``
+    (storage-permuted on the way in/out, natural elimination order — the
+    returned factor equals ``chol(gram)`` exactly).  Per step ``k``:
+
+    1. the diagonal block is broadcast (nb² — negligible) and factorized
+       redundantly;
+    2. the column-``k`` owners solve their exact-width panel slice;
+    3. routing by two masked ``psum``s, each moving O(n·nb/Pr) per
+       device: a row route along ``cols`` (every device receives the
+       panel blocks matching ITS row coordinate) and a transpose route
+       along ``rows`` exploiting ``j ≡ c (mod Pc) ⇒ j ≡ c (mod Pr)``
+       (the blocks a device needs for its local COLUMNS all live at row
+       coordinate ``c mod Pr``);
+    4. the trailing update is one exact-width local GEMM — n³/(3P)
+       FLOPs per device, cyclic load balance.
+
+    Communication per device is O(n²/Pr) total vs O(n²) for the 1-D
+    variants — the pod-scale variant promised in PERFORMANCE.md: on a
+    square mesh ``Pr = √P`` this is the classic O(n²/√P).
+    """
+    names = mesh.axis_names
+    if len(names) != 2:
+        raise ValueError("distributed_cholesky_2d needs a 2-D mesh")
+    rn, cn = names
+    Pr, Pc = mesh.shape[rn], mesh.shape[cn]
+    if Pc % Pr != 0:
+        raise ValueError(f"mesh cols ({Pc}) must be a multiple of rows ({Pr})")
+    n = gram.shape[0]
+    nb = block_size
+    assert n % (nb * Pr) == 0 and n % (nb * Pc) == 0, (
+        f"n={n} must be divisible by nb*Pr={nb * Pr} and nb*Pc={nb * Pc}"
+    )
+    nblocks = n // nb
+    rows_per_dev = n // Pr
+    cols_per_dev = n // Pc
+    m_ratio = Pc // Pr
+    if jitter is None:
+        jitter = config.cholesky_jitter
+    hi = jax.lax.Precision.HIGHEST
+
+    import numpy as np
+
+    idx_r, inv_r = _cyclic_row_permutation(nblocks, nb, Pr)
+    idx_c, inv_c = _cyclic_row_permutation(nblocks, nb, Pc)
+    idx_r_j, inv_r_j = jnp.asarray(idx_r), jnp.asarray(inv_r)
+    idx_c_j, inv_c_j = jnp.asarray(idx_c), jnp.asarray(inv_c)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=P(rn, cn),
+        out_specs=P(rn, cn),
+    )
+    def factorize(a_loc):
+        r = jax.lax.axis_index(rn)
+        c = jax.lax.axis_index(cn)
+        li = jax.lax.broadcasted_iota(jnp.int32, (rows_per_dev, 1), 0)[:, 0]
+        lj = jax.lax.broadcasted_iota(jnp.int32, (1, cols_per_dev), 1)[0]
+        g_row = (li // nb * Pr + r) * nb + li % nb  # global row ids
+        g_col = (lj // nb * Pc + c) * nb + lj % nb  # global col ids
+        diag_mask = (g_col[None, :] == g_row[:, None]).astype(a_loc.dtype)
+
+        if jitter:
+            local_sum = jnp.sum(a_loc * diag_mask)
+            diag_scale = jax.lax.psum(local_sum, (rn, cn)) / n
+            a_loc = a_loc + (jitter * diag_scale) * diag_mask
+
+        for k in range(nblocks):
+            kr, kc = k % Pr, k % Pc
+            lo_r = (k // Pr) * nb
+            lo_c = (k // Pc) * nb
+            Hr = rows_per_dev - lo_r
+            on_kc = c == kc
+            cpan = a_loc[lo_r:, lo_c : lo_c + nb]  # (Hr, nb) static slice
+            # Diagonal block (position 0 of the slice on its owner).
+            d_blk = jax.lax.psum(
+                jnp.where((r == kr) & on_kc, cpan[:nb], 0.0), (rn, cn)
+            )
+            d_blk = 0.5 * (d_blk + d_blk.T)
+            l_d = jnp.linalg.cholesky(d_blk)
+            l_pan = jax.lax.linalg.triangular_solve(
+                l_d, cpan, left_side=False, lower=True, transpose_a=True
+            )
+            # Global block ids of the slice rows (cyclic by Pr).
+            gb = ((lo_r // nb) + jax.lax.broadcasted_iota(jnp.int32, (Hr, 1), 0)[:, 0] // nb) * Pr + r
+            after = (gb > k)[:, None]
+            at_diag = (gb == k)[:, None]
+            rin = jax.lax.broadcasted_iota(jnp.int32, (Hr, 1), 0)[:, 0] % nb
+            bcols = jax.lax.broadcasted_iota(jnp.int32, (Hr, nb), 1)
+            tri = bcols <= rin[:, None]
+            l_masked = jnp.where(after, l_pan, jnp.where(at_diag & tri, l_pan, 0.0))
+            # Write the finished panel back on its owning column.
+            cur = a_loc[lo_r:, lo_c : lo_c + nb]
+            a_loc = a_loc.at[lo_r:, lo_c : lo_c + nb].set(
+                jnp.where(on_kc, l_masked, cur)
+            )
+            if k + 1 == nblocks:
+                continue
+            l_trail = jnp.where(after, l_masked, 0.0)
+            # Row route: my row blocks' panel slice (O(Hr*nb) comm).
+            row_pan = jax.lax.psum(jnp.where(on_kc, l_trail, 0.0), cn)
+            # Transpose route: blocks for my COLUMN coordinate live at
+            # row coordinate c mod Pr (since Pr | Pc).
+            col_full = jax.lax.psum(
+                jnp.where(r == (c % Pr), row_pan, 0.0), rn
+            )
+            # Select my trailing column blocks out of col_full: local
+            # col slot t (global block j = t*Pc + c) sits at source slot
+            # t*m_ratio + c//Pr, offset by the slice base k//Pr.
+            t0 = k // Pc
+            ts = np.arange(t0, cols_per_dev // nb)
+            src_slot = jnp.asarray(ts)[:, None] * m_ratio + (c // Pr)
+            pos = (src_slot - (k // Pr)) * nb + jnp.arange(nb)[None, :]
+            pos = jnp.clip(pos, 0, Hr - 1)
+            l_col = col_full[pos.reshape(-1)]  # (len(ts)*nb, nb)
+            # Mask stale column blocks (j <= k) — also guards clipping.
+            jblk = jnp.asarray(ts) * Pc + c  # (len(ts),)
+            keep = (jblk > k)[:, None, None]
+            l_col = (l_col.reshape(len(ts), nb, nb) * keep).reshape(-1, nb)
+            # Left operand is the ROW-ROUTED panel — the local l_trail is
+            # only meaningful on the owning column.
+            upd = jnp.matmul(row_pan, l_col.T, precision=hi)
+            a_loc = a_loc.at[lo_r:, lo_c:].add(-upd)
+        upper = g_col[None, :] > g_row[:, None]
+        return jnp.where(upper, 0.0, a_loc)
+
+    chol_c = factorize(gram[idx_r_j][:, idx_c_j])
+    return chol_c[inv_r_j][:, inv_c_j]
+
+
 def distributed_tri_solve(
     chol: jnp.ndarray,
     rhs: jnp.ndarray,

@@ -317,3 +317,27 @@ def test_distributed_posterior_eval_mean_and_std():
     np.testing.assert_allclose(
         np.asarray(std), np.asarray(post.std(xq)), rtol=1e-6, atol=1e-8
     )
+
+
+def test_distributed_cholesky_2d_matches_dense():
+    """2-D block-cyclic (ScaLAPACK-layout) factorization over a 2x4 mesh
+    must equal the dense Cholesky in natural layout (VERDICT round-1
+    item 6 — the O(n^2/sqrt(P))-communication pod-scale variant)."""
+    from linpde_gp_tpu.parallel import distributed_cholesky_2d
+
+    mesh = make_mesh(8)  # 2 x 4 on the virtual CPU rig
+    rng_l = np.random.default_rng(9)
+    n, nb = 256, 16
+    A = rng_l.standard_normal((n, n))
+    A = A @ A.T + n * np.eye(n)
+    L = np.asarray(
+        distributed_cholesky_2d(jnp.asarray(A), mesh=mesh, block_size=nb, jitter=0.0)
+    )
+    np.testing.assert_allclose(L, np.linalg.cholesky(A), rtol=0, atol=1e-8)
+
+    # The factor drops into the 1-D row-sharded solver unchanged.
+    b = rng_l.standard_normal(n)
+    x = np.asarray(
+        distributed_chol_solve(jnp.asarray(L), jnp.asarray(b), mesh=mesh, block_size=32)
+    )
+    np.testing.assert_allclose(x, np.linalg.solve(A, b), rtol=0, atol=1e-8)

@@ -253,12 +253,15 @@ def main():
     n = int(os.environ.get("BENCH_N", 100_000 if on_tpu else 2048))
     nq = int(os.environ.get("BENCH_NQ", 8192 if on_tpu else 512))
     rank = int(os.environ.get("BENCH_RANK", 1024 if on_tpu else 128))
-    # 1% relative observation noise: finite-precision CG's attainable
-    # residual scales with eps * cond(A); at noise 1e-4 the f32 floor sits
-    # at ~6e-4 (measured) — above any useful tolerance — while at 1e-2
-    # the floor is ~6e-6 and the rank-1024 Nyström preconditioner drives
-    # convergence in O(10) iterations.
-    noise_rel = 1e-2
+    # Observation-noise floor in float32 at this scale: the computed
+    # Gram is K + E with a COHERENT per-entry evaluation error
+    # |E_ij| ~ eps32 * k(0), so lambda_min(K+E) can reach ~ -n eps32 k(0)
+    # (~ -1e-2 at n=1e5) — sigma^2 must dominate it or CG sees an
+    # indefinite operator (measured: smooth convergence to relres 0.2,
+    # then divergence).  3e-2 relative noise keeps the system SPD with
+    # margin; it also sets the f32 CG attainable-residual floor
+    # (eps * cond) comfortably below tol.
+    noise_rel = float(os.environ.get("BENCH_NOISE", 3e-2))
     tol = 1e-5
     maxiter = 256
 

@@ -58,11 +58,26 @@ class StageTimer:
         return ctx()
 
 
-def report(name, metrics, timer: StageTimer | None = None):
+def report(name, metrics, timer: StageTimer | None = None, checks=None):
+    """Emit the JSON payload and ENFORCE metric tolerances.
+
+    ``checks``: mapping ``metric -> ("<=" | ">=", bound)``.  A breach
+    raises, so ``run_all.py`` exits nonzero — regressions in experiment
+    accuracy fail loudly instead of silently drifting in RESULTS.md.
+    Skipped when ``LGT_SKIP_CHECKS=1`` (e.g. exploratory runs).
+    """
     payload = {"experiment": name, "metrics": metrics}
     if timer is not None:
         payload["wall_clock_s"] = {
             k: round(v, 4) for k, v in timer.stages.items()
         }
     print(json.dumps(payload))
+    if checks and os.environ.get("LGT_SKIP_CHECKS") != "1":
+        for key, (op, bound) in checks.items():
+            val = metrics[key]
+            ok = val <= bound if op == "<=" else val >= bound
+            if not ok:
+                raise AssertionError(
+                    f"{name}: metric {key}={val!r} violates {op} {bound!r}"
+                )
     return payload

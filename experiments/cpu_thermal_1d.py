@@ -246,6 +246,7 @@ def main_joint(n_pde=17, n_dts=6):
             "energy_balance_std": float(np.asarray(stat_rv.std)),
         },
         timer,
+        checks={"u_rmse": ("<=", 0.2), "u_coverage": (">=", 0.85)},
     )
 
 

@@ -113,6 +113,7 @@ def main(n_pde=(12, 8), n_bc=8):
             "max_std": float(std.max()),
         },
         timer,
+        checks={"pde_resid_heldout_rms": ("<=", 3.0)},
     )
 
 

@@ -68,6 +68,7 @@ def main(n_pde=(100, 20), n_ic=5, n_bc=50):
             "coverage": coverage,
         },
         timer,
+        checks={"mae": ("<=", 2e-3), "coverage": (">=", 0.95)},
     )
 
 

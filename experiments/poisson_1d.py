@@ -58,10 +58,18 @@ def main(n_pde=3, plot=False):
         ax.legend()
         fig.savefig("poisson_1d.png", dpi=120)
 
+    import jax
+
+    checks = {"rmse": ("<=", 0.08), "coverage": (">=", 0.8)}
+    if n_pde >= 20:
+        # Dense collocation: posterior is solver-limited, not prior-limited.
+        tol = 1e-6 if jax.config.jax_enable_x64 else 5e-4
+        checks = {"max_err": ("<=", tol)}
     return report(
         "poisson_dirichlet_1d",
         {"n_pde": n_pde, "rmse": rmse, "max_err": max_err, "coverage": coverage},
         timer,
+        checks=checks,
     )
 
 

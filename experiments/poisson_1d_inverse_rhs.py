@@ -94,6 +94,12 @@ def main(n_meas=10, n_pde=10):
             "f_coverage": f_cov,
         },
         timer,
+        checks={
+            "u_rmse": ("<=", 0.06),
+            "f_rmse": ("<=", 2.5),
+            "u_coverage": (">=", 0.9),
+            "f_coverage": (">=", 0.9),
+        },
     )
 
 

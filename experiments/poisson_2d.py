@@ -75,6 +75,7 @@ def main(n_pde=20, n_bc=20):
             "max_std": float(std.max()),
         },
         timer,
+        checks={"rmse": ("<=", 0.16), "center_abs_err": ("<=", 0.25)},
     )
 
 

@@ -79,6 +79,11 @@ def main(num_elements=5):
             "max_std": float(std.max()),
         },
         timer,
+        checks={
+            "gp_rmse": ("<=", 0.09),
+            "fem_rmse": ("<=", 0.04),
+            "gp_fem_node_diff": ("<=", 0.06),
+        },
     )
 
 

@@ -143,6 +143,54 @@ def plot_local_taylor_processes(ax, xs, taylor_processes, *, dx: float = 0.05, *
     return lines
 
 
+def _grid_2d(xs0, xs1):
+    X0, X1 = np.meshgrid(np.asarray(xs0), np.asarray(xs1), indexing="ij")
+    return X0, X1, np.stack([X0, X1], axis=-1)
+
+
+def plot_function_2d(f, ax, xs0, xs1, **kwargs):
+    """2-D function plot: surface on a 3-D axis, filled contours on a
+    2-D axis (reference ``utils/plotting.py:72-185`` 2-D behavior)."""
+    _require_mpl()
+    X0, X1, pts = _grid_2d(xs0, xs1)
+    Z = np.asarray(f(pts))
+    if hasattr(ax, "plot_surface"):
+        return ax.plot_surface(X0, X1, Z, **kwargs)
+    return ax.contourf(X0, X1, Z, **kwargs)
+
+
+def plot_random_process_2d(
+    rp,
+    ax,
+    xs0,
+    xs1,
+    *,
+    cred_int: float = 0.95,
+    rel_band_alpha: float = 0.25,
+    **kwargs,
+):
+    """2-D process plot: posterior-mean surface plus translucent
+    ``mean ± z·std`` credible surfaces on a 3-D axis; on a 2-D axis the
+    mean as filled contours (std available via ``rp.std`` separately)."""
+    _require_mpl()
+    import scipy.stats
+
+    X0, X1, pts = _grid_2d(xs0, xs1)
+    mean = np.asarray(rp.mean(pts))
+    if not hasattr(ax, "plot_surface"):
+        return ax.contourf(X0, X1, mean, **kwargs)
+    surf = ax.plot_surface(X0, X1, mean, **kwargs)
+    if cred_int is not None and not isinstance(rp, DeterministicProcess):
+        std = np.asarray(rp.std(pts))
+        z = scipy.stats.norm.ppf((1 + cred_int) / 2)
+        band_kwargs = dict(kwargs)
+        band_kwargs.pop("label", None)
+        band_kwargs["alpha"] = rel_band_alpha * kwargs.get("alpha", 1.0)
+        ax.plot_surface(X0, X1, mean - z * std, **band_kwargs)
+        ax.plot_surface(X0, X1, mean + z * std, **band_kwargs)
+    return surf
+
+
 def plot_gaussian_pdf(rv, ax, num_stds: float = 3.0, **kwargs):
     """Plot the pdf of a scalar Normal (reference ``plot_gaussian_pdf``)."""
     _require_mpl()
@@ -191,10 +239,16 @@ class PDFWriter:
 
 
 # -- attach methods (reference attaches on import) -------------------------
+def _is_2d_input(obj) -> bool:
+    return tuple(getattr(obj, "input_shape", ())) == (2,)
+
+
 def _function_plot(self, ax=None, xs=None, **kwargs):
     _require_mpl()
     if ax is None:
         ax = plt.gca()
+    if _is_2d_input(self) and isinstance(xs, tuple) and len(xs) == 2:
+        return plot_function_2d(self, ax, xs[0], xs[1], **kwargs)
     return plot_function(self, ax, xs, **kwargs)
 
 
@@ -202,6 +256,8 @@ def _process_plot(self, ax=None, xs=None, **kwargs):
     _require_mpl()
     if ax is None:
         ax = plt.gca()
+    if _is_2d_input(self) and isinstance(xs, tuple) and len(xs) == 2:
+        return plot_random_process_2d(self, ax, xs[0], xs[1], **kwargs)
     return plot_random_process(self, ax, xs, **kwargs)
 
 

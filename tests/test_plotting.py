@@ -64,3 +64,32 @@ def test_pdf_writer(tmp_path):
     assert (tmp_path / "frame_0.pdf").exists()
     assert (tmp_path / "frame_1.pdf").exists()
     plt.close(fig)
+
+
+def test_plot_random_process_2d_surface_and_contour():
+    """2-D posterior plotting (reference utils/plotting.py:72-185):
+    mean surface + credible surfaces on a 3-D axis, contours on 2-D."""
+    matplotlib = pytest.importorskip("matplotlib")
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import linpde_gp_tpu as lgt
+    import linpde_gp_tpu.utils.plotting  # noqa: F401 — attaches .plot
+
+    k = lgt.kernels.TensorProduct(
+        lgt.kernels.Matern((), nu=1.5, lengthscales=1.0),
+        lgt.kernels.Matern((), nu=2.5, lengthscales=1.0),
+    )
+    prior = lgt.GaussianProcess(lgt.functions.Zero((2,)), k)
+    X = np.random.default_rng(0).uniform(-1, 1, (12, 2))
+    Y = np.sin(X[:, 0]) * X[:, 1]
+    post = prior.condition_on_observations(Y, X=X)
+
+    xs = (np.linspace(-1, 1, 9), np.linspace(-1, 1, 8))
+    fig = plt.figure()
+    ax3 = fig.add_subplot(1, 2, 1, projection="3d")
+    surf = post.plot(ax3, xs, cred_int=0.95)
+    assert surf is not None
+    ax2 = fig.add_subplot(1, 2, 2)
+    cs = post.plot(ax2, xs)
+    assert cs is not None
+    plt.close(fig)

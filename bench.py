@@ -255,13 +255,18 @@ def main():
     rank = int(os.environ.get("BENCH_RANK", 1024 if on_tpu else 128))
     # Observation-noise floor in float32 at this scale: the computed
     # Gram is K + E with a COHERENT per-entry evaluation error
-    # |E_ij| ~ eps32 * k(0), so lambda_min(K+E) can reach ~ -n eps32 k(0)
-    # (~ -1e-2 at n=1e5) — sigma^2 must dominate it or CG sees an
-    # indefinite operator (measured: smooth convergence to relres 0.2,
-    # then divergence).  3e-2 relative noise keeps the system SPD with
-    # margin; it also sets the f32 CG attainable-residual floor
-    # (eps * cond) comfortably below tol.
-    noise_rel = float(os.environ.get("BENCH_NOISE", 3e-2))
+    # |E_ij| ~ c * eps32 * k(0), so lambda_min(K+E) scales like
+    # -n * eps32 * k(0) and sigma^2 must dominate it or CG sees an
+    # (effectively) indefinite operator.  Measured on the chip:
+    #   n = 32,768, noise 3e-2: 38 iters to relres 9e-6 (healthy);
+    #   n = 98,304, noise 3e-2: maxiter stall at relres 5e-1;
+    #   n = 100,000, noise 3e-2: maxiter stall at relres 7e-2;
+    #   n = 100,000, noise 1e-1: 49 iters to relres 8.8e-6 (healthy).
+    # So the measured indefiniteness floor sits at ~1e-6 * n relative to
+    # the diagonal; default the noise one comfortable factor above it.
+    noise_rel = float(
+        os.environ.get("BENCH_NOISE", max(3e-2, n / 1e6))
+    )
     tol = 1e-5
     maxiter = 256
 

@@ -485,6 +485,170 @@ def gram_matvec(spec, X0, X1, v) -> jnp.ndarray:
     return scale * out if scale != 1.0 else out
 
 
+def compact_support_radius(terms, dim: int = 0) -> float | None:
+    """Support radius along input dimension ``dim`` if EVERY term's
+    ``dim``-factor is compactly supported (``wendland`` kind: support
+    ``|d| <= 1/scale``); ``None`` otherwise.
+
+    The reference routes Wendland through KeOps and never exploits the
+    sparsity structurally (``covfuncs/_wendland.py:87-98``); here it
+    feeds the banded Pallas schedule below.
+    """
+    radius = 0.0
+    for _coeff, factors in terms:
+        f = factors[dim]
+        if f[0] != "wendland":
+            return None
+        radius = max(radius, 1.0 / float(f[1]))
+    return radius
+
+
+def _banded_matvec_body(terms, ndims, js_ref, x0_ref, x1_ref, v_ref, out_ref):
+    # Banded variant of _matvec_body: the j grid dimension walks a
+    # per-row-tile WINDOW of column tiles (offsets prefetched in js_ref),
+    # not the full column range.  Same layouts; js_ref is scalar-prefetch.
+    import jax.experimental.pallas as pl
+
+    j = pl.program_id(1)
+    groups = _collapse_terms(tuple(terms))
+    acc = _eval_groups(
+        groups,
+        lambda i: x0_ref[i, :, 0][:, None] - x1_ref[i, 0, :][None, :],
+    )
+    partial = jax.lax.dot_general(
+        acc,
+        v_ref[:, :],
+        (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:, :] = partial
+
+    @pl.when(j > 0)
+    def _():
+        out_ref[:, :] += partial
+
+
+@functools.lru_cache(maxsize=None)
+def _build_banded_matvec(terms, ndims, n0p, n1p, tile0, tile1, band, r, dtype_name, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    dtype = jnp.dtype(dtype_name)
+    body = functools.partial(_banded_matvec_body, terms, ndims)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n0p // tile0, band),
+        in_specs=[
+            pl.BlockSpec((ndims, tile0, 128), lambda i, j, js: (0, i, 0)),
+            pl.BlockSpec((ndims, 8, tile1), lambda i, j, js: (0, 0, js[i] + j)),
+            pl.BlockSpec((tile1, r), lambda i, j, js: (js[i] + j, 0)),
+        ],
+        out_specs=pl.BlockSpec((tile0, r), lambda i, j, js: (i, 0)),
+    )
+    return pl.pallas_call(
+        body,
+        out_shape=jax.ShapeDtypeStruct((n0p, r), dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )
+
+
+def make_banded_matvec(spec, X0, X1, *, radius: float | None = None, interpret: bool | None = None):
+    """Factory for a banded gram-free matvec ``v -> scale * K(X0, X1) @ v``
+    exploiting compact support: points are sorted by input dimension 0 and
+    each row tile visits only the contiguous window of column tiles within
+    the support radius — O(n0 * band) pair work instead of O(n0 * n1).
+
+    Because the kernel is EXACTLY zero beyond the radius, the band is
+    exact (not an approximation): any tile outside it contributes zero.
+    ``X0``/``X1`` must be host (concrete) arrays — the band structure is
+    static schedule metadata, computed ahead of trace time; the returned
+    closure is jittable and takes/returns vectors in the ORIGINAL point
+    order.  ``radius`` defaults to the spec's Wendland support along
+    dimension 0 (raises if the dim-0 factors are not compactly supported).
+    """
+    scale, terms = spec
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    X0 = np.asarray(X0)
+    X1 = np.asarray(X1)
+    if X0.ndim == 1:
+        X0 = X0[:, None]
+    if X1.ndim == 1:
+        X1 = X1[:, None]
+    if radius is None:
+        radius = compact_support_radius(terms, 0)
+        if radius is None:
+            raise ValueError(
+                "kernel is not compactly supported along dim 0; pass radius="
+            )
+    n0, d = X0.shape
+    n1 = X1.shape[0]
+    dtype = jnp.result_type(X0.dtype, jnp.zeros((), config.default_dtype).dtype)
+
+    perm0 = np.argsort(X0[:, 0], kind="stable")
+    perm1 = np.argsort(X1[:, 0], kind="stable")
+    inv0 = np.argsort(perm0)
+    X0s = X0[perm0]
+    X1s = X1[perm1]
+
+    tile0 = min(config.matvec_tile, _round_up(n0, 8))
+    tile1 = min(config.matvec_tile, _round_up(n1, 128))
+    n0p = _round_up(n0, tile0)
+    n1p = _round_up(n1, tile1)
+    ntiles0 = n0p // tile0
+    ntiles1 = n1p // tile1
+
+    # Per-row-tile column-tile window [j_lo, j_hi] covering all real
+    # column points within the support radius.  Padded slots carry v = 0,
+    # so only real pairs constrain the band.
+    c1 = X1s[:, 0]
+    j_lo = np.zeros(ntiles0, np.int64)
+    j_hi = np.zeros(ntiles0, np.int64)
+    for it in range(ntiles0):
+        rows = X0s[it * tile0 : min((it + 1) * tile0, n0), 0]
+        if rows.size == 0:  # fully padded row tile: any valid window
+            continue
+        a = int(np.searchsorted(c1, rows.min() - radius, "left"))
+        b = int(np.searchsorted(c1, rows.max() + radius, "right"))
+        j_lo[it] = a // tile1
+        j_hi[it] = max(b - 1, a) // tile1
+    band = int(np.max(j_hi - j_lo + 1))
+    j_start = np.clip(np.minimum(j_lo, ntiles1 - band), 0, None).astype(np.int32)
+
+    X0p = _pack_rows(jnp.asarray(X0s), n0p, dtype)
+    X1p = _pack_lanes(jnp.asarray(X1s), n1p, dtype)
+    js_dev = jnp.asarray(j_start)
+    perm1_dev = jnp.asarray(perm1)
+    inv0_dev = jnp.asarray(inv0)
+
+    def matvec(v):
+        v = jnp.asarray(v)
+        vector = v.ndim == 1
+        if vector:
+            v = v[:, None]
+        r = v.shape[1]
+        rp = _round_up(r, 128)
+        vs = jnp.take(v.astype(dtype), perm1_dev, axis=0)
+        vp = jnp.zeros((n1p, rp), dtype).at[:n1, :r].set(vs)
+        fn = _build_banded_matvec(
+            terms, d, n0p, n1p, tile0, tile1, band, rp,
+            jnp.dtype(dtype).name, interpret,
+        )
+        out = fn(js_dev, X0p, X1p, vp)[:n0, :r]
+        if scale != 1.0:
+            out = scale * out
+        out = jnp.take(out, inv0_dev, axis=0)
+        return out[:, 0] if vector else out
+
+    matvec.band_tiles = band
+    matvec.total_tiles = ntiles1
+    return matvec
+
+
 def _dense_terms_matvec(terms, X0, X1, v):
     if X0.ndim == 1:
         X0 = X0[:, None]

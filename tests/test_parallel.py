@@ -168,7 +168,7 @@ def test_distributed_cholesky_cyclic_matches_dense():
 
     mesh = make_mesh(8)
     rng = np.random.default_rng(3)
-    n, nb = 256, 32
+    n, nb = 128, 16  # 8 block-rows over P=8 — full cyclic layout, small GEMMs
     A = rng.standard_normal((n, n))
     A = A @ A.T + n * np.eye(n)
     L = np.asarray(
@@ -195,7 +195,7 @@ def test_distributed_chol_factor_incremental_extension():
 
     mesh = make_mesh(8)
     rng_l = np.random.default_rng(7)
-    n, nb = 256, 32
+    n, nb = 128, 16
     A = rng_l.standard_normal((n, n))
     A = A @ A.T + n * np.eye(n)
     L = distributed_cholesky_cyclic(jnp.asarray(A), mesh=mesh, block_size=nb)
@@ -249,10 +249,12 @@ def test_distributed_conditioner_incremental_batches():
     )
     kL_cross = apply_operator_to_kernel(L, k, argnum=0)
 
-    n, m = 200, 2
+    n, m = 96, 2
     X = np.linspace(0.05, 0.95, n)
     Y = np.sin(6 * X)
-    cond = DistributedConditioner(mesh=mesh, block_size=32)
+    # block_size 24 with n=96 pads to 192 (4 block-rows) — exercises the
+    # padding path while keeping the unrolled factorization short.
+    cond = DistributedConditioner(mesh=mesh, block_size=24)
     cond.condition(kLL, X, Y, noise_variance=1e-8)
 
     Xb = np.array([0.0, 1.0])
@@ -292,7 +294,7 @@ def test_distributed_posterior_eval_mean_and_std():
     Y = np.full(n, 2.0)
     noise = 1e-8
 
-    cond = DistributedConditioner(mesh=mesh, block_size=16)
+    cond = DistributedConditioner(mesh=mesh, block_size=24)
     cond.condition(kDD, X, Y, noise_variance=noise, jitter=0.0)
     Xb = np.array([-1.0, 1.0])
     Yb = np.array([0.0, 1.0])
@@ -327,7 +329,7 @@ def test_distributed_cholesky_2d_matches_dense():
 
     mesh = make_mesh(8)  # 2 x 4 on the virtual CPU rig
     rng_l = np.random.default_rng(9)
-    n, nb = 256, 16
+    n, nb = 128, 16  # 8 block-columns: 2 cyclic rounds over the 4 mesh cols
     A = rng_l.standard_normal((n, n))
     A = A @ A.T + n * np.eye(n)
     L = np.asarray(
@@ -338,6 +340,6 @@ def test_distributed_cholesky_2d_matches_dense():
     # The factor drops into the 1-D row-sharded solver unchanged.
     b = rng_l.standard_normal(n)
     x = np.asarray(
-        distributed_chol_solve(jnp.asarray(L), jnp.asarray(b), mesh=mesh, block_size=32)
+        distributed_chol_solve(jnp.asarray(L), jnp.asarray(b), mesh=mesh, block_size=16)
     )
     np.testing.assert_allclose(x, np.linalg.solve(A, b), rtol=0, atol=1e-8)

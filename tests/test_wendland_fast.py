@@ -143,3 +143,75 @@ def test_wendland_poisson_conditioning_end_to_end():
     assert np.max(np.abs(mean - sol)) < 2e-3  # compact support limits reach
     # BCs interpolated.
     np.testing.assert_allclose(np.asarray(post.mean(np.asarray(X_bc))), Y_bc, atol=1e-6)
+
+
+def test_banded_matvec_matches_dense_1d():
+    """Banded Pallas matvec (compact-support tile skipping) vs the dense
+    Gram product, unsorted points, 1-D."""
+    from linpde_gp_tpu.ops.pallas_gram import make_banded_matvec
+
+    from linpde_gp_tpu.config import config
+
+    k = 1.7 * WendlandCovarianceFunction((), k=2, lengthscales=0.05)
+    spec = kernel_term_specs(k)
+    X0 = rng.uniform(0.0, 1.0, 300)
+    X1 = rng.uniform(0.0, 1.0, 1500)
+    saved = config.matvec_tile
+    config.set(matvec_tile=128)
+    try:
+        mv = make_banded_matvec(spec, X0, X1, interpret=True)
+    finally:
+        config.set(matvec_tile=saved)
+    v = rng.standard_normal(1500)
+    dense = np.asarray(k.matrix(jnp.asarray(X0), jnp.asarray(X1))) @ v
+    np.testing.assert_allclose(np.asarray(mv(v)), dense, rtol=0, atol=1e-12)
+    # The schedule must actually skip tiles at this radius/domain ratio
+    # (support 0.05 on a unit domain, 128-point tiles over 1500 points).
+    assert mv.band_tiles < mv.total_tiles
+    # Multi-RHS path.
+    V = rng.standard_normal((1500, 3))
+    denseV = np.asarray(k.matrix(jnp.asarray(X0), jnp.asarray(X1))) @ V
+    np.testing.assert_allclose(np.asarray(mv(V)), denseV, rtol=0, atol=1e-12)
+
+
+def test_banded_matvec_diffop_transformed_2d():
+    """Banding survives diffop transforms (derivatives keep the support)
+    and tensor-product kernels: band on dim 0, full range on dim 1."""
+    from linpde_gp_tpu.ops.pallas_gram import (
+        compact_support_radius,
+        make_banded_matvec,
+    )
+
+    k = lgt.kernels.TensorProduct(
+        WendlandCovarianceFunction((), k=2, lengthscales=0.08),
+        WendlandCovarianceFunction((), k=2, lengthscales=0.3),
+    )
+    D = diffops.PartialDerivative((1, 0))
+    kk = apply_operator_to_kernel(
+        D, apply_operator_to_kernel(D, k, argnum=1), argnum=0
+    )
+    spec = kernel_term_specs(kk)
+    assert compact_support_radius(spec[1], 0) == pytest.approx(0.08)
+    X = rng.uniform(0.0, 1.0, (256, 2))
+    mv = make_banded_matvec(spec, X, X, interpret=True)
+    v = rng.standard_normal(256)
+    dense = np.asarray(kk.matrix(jnp.asarray(X))) @ v
+    np.testing.assert_allclose(np.asarray(mv(v)), dense, rtol=1e-9, atol=1e-10)
+
+
+def test_banded_matvec_radius_covers_domain():
+    """Radius larger than the domain degrades to the full band and stays
+    exact; non-compact kernels require an explicit radius."""
+    from linpde_gp_tpu.ops.pallas_gram import make_banded_matvec
+
+    k = WendlandCovarianceFunction((), k=1, lengthscales=5.0)
+    spec = kernel_term_specs(k)
+    X = rng.uniform(0.0, 1.0, 150)
+    mv = make_banded_matvec(spec, X, X, interpret=True)
+    v = rng.standard_normal(150)
+    dense = np.asarray(k.matrix(jnp.asarray(X))) @ v
+    np.testing.assert_allclose(np.asarray(mv(v)), dense, rtol=0, atol=1e-12)
+
+    km = lgt.kernels.Matern((), nu=1.5, lengthscales=0.3)
+    with pytest.raises(ValueError, match="not compactly supported"):
+        make_banded_matvec(kernel_term_specs(km), X, X, interpret=True)

@@ -57,7 +57,8 @@ def _build_kernels():
     return k_hh, k_cross
 
 
-def _accelerator_run(k_hh, k_cross, X, Y, Xq, *, noise_rel, rank, tol, maxiter):
+def _accelerator_run(k_hh, k_cross, X, Y, Xq, *, noise_rel, rank, tol, maxiter,
+                     compensated=False):
     import jax
     import jax.numpy as jnp
 
@@ -100,7 +101,9 @@ def _accelerator_run(k_hh, k_cross, X, Y, Xq, *, noise_rel, rank, tol, maxiter):
         sigma_sq = jnp.asarray(noise_rel * diag, hi_dtype)
 
         def matvec(v):
-            out = pallas_gram_matvec(terms_obs, x, x, v.astype(lo_dtype))
+            out = pallas_gram_matvec(
+                terms_obs, x, x, v.astype(lo_dtype), compensated=compensated
+            )
             out = out.astype(hi_dtype)
             if scale_obs != 1.0:
                 out = scale_obs * out
@@ -253,22 +256,21 @@ def main():
     n = int(os.environ.get("BENCH_N", 100_000 if on_tpu else 2048))
     nq = int(os.environ.get("BENCH_NQ", 8192 if on_tpu else 512))
     rank = int(os.environ.get("BENCH_RANK", 1024 if on_tpu else 128))
-    # Observation-noise floor in float32 at this scale: the computed
-    # Gram is K + E with a COHERENT per-entry evaluation error
-    # |E_ij| ~ c * eps32 * k(0), so lambda_min(K+E) scales like
-    # -n * eps32 * k(0) and sigma^2 must dominate it or CG sees an
-    # (effectively) indefinite operator.  Measured on the chip:
-    #   n = 32,768, noise 3e-2: 38 iters to relres 9e-6 (healthy);
-    #   n = 98,304, noise 3e-2: maxiter stall at relres 5e-1;
-    #   n = 100,000, noise 3e-2: maxiter stall at relres 7e-2;
-    #   n = 100,000, noise 1e-1: 49 iters to relres 8.8e-6 (healthy).
-    # So the measured indefiniteness floor sits at ~1e-6 * n relative to
-    # the diagonal; default the noise one comfortable factor above it.
-    noise_rel = float(
-        os.environ.get("BENCH_NOISE", max(3e-2, n / 1e6))
-    )
-    tol = 1e-5
-    maxiter = 256
+    # Observation-noise floor in float32: the PLAIN f32 evaluation chain
+    # has a COHERENT per-entry error |E_ij| ~ 1e-6 * k(0) (TPU VPU
+    # transcendentals), so lambda_min(K+E) drifts like -1e-6 * n * k(0)
+    # and CG stalls once sigma^2 is below that (measured in round 2:
+    # noise 3e-2 converges at n=32,768, stalls at n>=98,304; 1e-1 needed
+    # at n=1e5).  The COMPENSATED float-float chain (default since round
+    # 3; ops/ff.py) drops the coherent error to ~1e-13 per entry, leaving
+    # only the incoherent final-rounding/accumulation noise
+    # (~sqrt(n)*eps32), so realistic noise levels condition fine:
+    # default 1e-3 at the north-star n=1e5 (VERDICT r2 item 1).
+    compensated = bool(int(os.environ.get("BENCH_COMPENSATED", 1)))
+    default_noise = 1e-3 if compensated else max(3e-2, 3.0 * n / 1e6)
+    noise_rel = float(os.environ.get("BENCH_NOISE", default_noise))
+    tol = float(os.environ.get("BENCH_TOL", 1e-5))
+    maxiter = int(os.environ.get("BENCH_MAXITER", 512))
 
     k_hh, k_cross = _build_kernels()
     rng = np.random.default_rng(0)
@@ -295,7 +297,7 @@ def main():
             value, iters, relres, t_eval = _accelerator_run(
                 k_hh, k_cross, X, Y, Xq,
                 noise_rel=noise_rel, rank=min(rank, n // 4),
-                tol=tol, maxiter=maxiter,
+                tol=tol, maxiter=maxiter, compensated=compensated and on_tpu,
             )
             break
         except Exception as exc:  # noqa: BLE001

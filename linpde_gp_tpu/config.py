@@ -53,6 +53,19 @@ class _Config:
     #: preferred over plain broadcast evaluation.
     pallas_gram_threshold: int = 1 << 22
 
+    #: Compensated (float-float) streaming Gram evaluation: carry the
+    #: distance/Horner/exp chains in hi/lo float32 pairs (``ops/ff.py``),
+    #: dropping the coherent per-entry evaluation error from ~1e-6 (TPU
+    #: f32 transcendental floor) to ~1e-13 at a measured ~3-4x pair-
+    #: throughput cost.  Turn on for small-noise conditioning at large N
+    #: (the f32 floor makes the computed Gram indefinite at
+    #: ``sigma^2 < ~1e-6 * N * k(0)``; see PERFORMANCE.md).
+    gram_compensated: bool = False
+
+    #: Tile size of the compensated matvec (smaller: the ff evaluator
+    #: holds ~3x more live VMEM temporaries per tile).
+    matvec_tile_compensated: int = 256
+
     #: Use the JIT-compiled C++/OpenMP host engine (``native/``) for large
     #: Gram assembly and Gram-free matvecs on the CPU backend — the
     #: KeOps-equivalent of the reference (SURVEY.md §2 native list).

@@ -64,6 +64,7 @@ class IterativeGPRegressor:
         tol: float = 1e-6,
         maxiter: int = 512,
         precond_rank: int | str = "auto",
+        compensated: bool | None = None,
     ):
         if prior.output_shape != ():
             raise ValueError("IterativeGPRegressor supports scalar outputs.")
@@ -73,6 +74,16 @@ class IterativeGPRegressor:
         self.noise_variance = float(noise_variance)
         self.tol = float(tol)
         self.maxiter = int(maxiter)
+        # Compensated (float-float) streaming evaluation: required for
+        # small noise at large N in float32 — the plain f32 chain's
+        # coherent error makes the Gram-as-operator indefinite once
+        # sigma^2 < ~1e-6 * n * k(0) (PERFORMANCE.md).  None defers to
+        # config.gram_compensated.
+        from ..config import config as _config
+
+        self.compensated = (
+            _config.gram_compensated if compensated is None else bool(compensated)
+        )
 
         k = prior.cov
         if L is not None:
@@ -125,7 +136,7 @@ class IterativeGPRegressor:
             return self._gram_linop @ v + self.noise_variance * v
         x = self.X.reshape(self.X.shape[0], -1)
         if self._obs_spec is not None:
-            out = gram_matvec(self._obs_spec, x, x, v)
+            out = gram_matvec(self._obs_spec, x, x, v, compensated=self.compensated)
         else:
             out = gram_matrix(self._k_obs, self.X) @ v
         return out + self.noise_variance * v
@@ -179,6 +190,7 @@ class IterativeGPRegressor:
                 xq.reshape(xq.shape[0], -1),
                 self.X.reshape(self.X.shape[0], -1),
                 w,
+                compensated=self.compensated,
             )
         else:
             update = gram_matrix(self._k_cross, xq, self.X) @ w

@@ -122,6 +122,88 @@ def _horner_nd(C, ts, axis=0):
     return acc
 
 
+def _horner_1d_ff(coeffs, t, dtype):
+    from . import ff
+
+    c_hi, c_lo = ff.ff_const(coeffs[-1], dtype)
+    acc = (jnp.full_like(t[0], c_hi), jnp.full_like(t[0], c_lo))
+    for c in reversed(coeffs[:-1]):
+        c_hi, c_lo = ff.ff_const(c, dtype)
+        acc = ff.ff_add_const(ff.ff_mul(acc, t), c_hi, c_lo)
+    return acc
+
+
+def _horner_nd_ff(C, ts, dtype, axis=0):
+    from . import ff
+
+    if axis == len(ts) - 1:
+        return _horner_1d_ff(C, ts[axis], dtype)
+    subs = [_horner_nd_ff(sub, ts, dtype, axis + 1) for sub in C]
+    acc = subs[-1]
+    t = ts[axis]
+    for s in reversed(subs[:-1]):
+        acc = ff.ff_add(ff.ff_mul(acc, t), s)
+    return acc
+
+
+def _eval_groups_ff(groups, d_fn):
+    """Compensated (float-float) variant of :func:`_eval_groups`.
+
+    ``d_fn(i)`` returns the RAW per-dimension pairwise difference
+    operands ``(a_i, b_i)`` (broadcastable); the difference, scaled
+    distance, Horner chains, exponentials and term sum are all carried
+    in hi/lo pairs (``ops/ff.py``), dropping the per-entry evaluation
+    error from ~1e-6 (TPU f32 transcendentals) to ~1e-13.  Returns the
+    ``(hi, lo)`` pair so matvec callers can keep both planes through the
+    MXU dot.  Rationale + measured noise-floor numbers: PERFORMANCE.md.
+    """
+    from . import ff
+
+    d_cache: dict = {}
+    t_cache: dict = {}
+    e_cache: dict = {}
+    s_cache: dict = {}
+
+    def dff(i):
+        if i not in d_cache:
+            a, b = d_fn(i)
+            d_cache[i] = ff.two_diff(a, b)
+        return d_cache[i]
+
+    acc = None
+    for dims_key, parity, C in groups:
+        dtype = None
+        ts = []
+        env = None
+        for i, (kind, scale) in enumerate(dims_key):
+            tk = (i, kind, scale)
+            if tk not in t_cache:
+                z = ff.ff_scale(dff(i), scale)
+                if kind == "matern":
+                    t = ff.ff_abs(z)
+                    e = ff.ff_exp(ff.ff_neg(t))
+                elif kind == "wendland":
+                    t = ff.ff_abs(z)
+                    inside = (t[0] < 1.0) | ((t[0] == 1.0) & (t[1] <= 0.0))
+                    e = (inside.astype(t[0].dtype), jnp.zeros_like(t[0]))
+                else:
+                    t = z
+                    e = ff.ff_exp(ff.ff_neg(ff.ff_sqr(z)))
+                t_cache[tk] = t
+                e_cache[tk] = e
+            ts.append(t_cache[tk])
+            env = e_cache[tk] if env is None else ff.ff_mul(env, e_cache[tk])
+            dtype = ts[-1][0].dtype
+        val = ff.ff_mul(_horner_nd_ff(C, ts, dtype), env)
+        for i, p in enumerate(parity):
+            if p:
+                if i not in s_cache:
+                    s_cache[i] = jnp.sign(dff(i)[0])
+                val = (val[0] * s_cache[i], val[1] * s_cache[i])
+        acc = val if acc is None else ff.ff_add(acc, val)
+    return acc
+
+
 def _eval_groups(groups, d_fn):
     """Evaluate collapsed polynomial groups given per-dimension pairwise
     differences ``d_fn(i)``; transcendentals memoized across groups."""
@@ -165,7 +247,7 @@ def _eval_groups(groups, d_fn):
     return acc
 
 
-def _tile_kernel_body(terms: Sequence[TermSpec], ndims: int, x0_ref, x1_ref, out_ref):
+def _tile_kernel_body(terms: Sequence[TermSpec], ndims: int, compensated: bool, x0_ref, x1_ref, out_ref):
     # Layouts (see ``pallas_gram``): x0_ref (d, T0, 128) with the
     # coordinate in lane 0 (slicing lane 0 is free; any other lane index
     # stalls the Mosaic compiler with a cross-lane extract); x1_ref
@@ -174,10 +256,17 @@ def _tile_kernel_body(terms: Sequence[TermSpec], ndims: int, x0_ref, x1_ref, out
     # dominated wall-clock at N ~ 1e5 (d*n*128*4 bytes re-streamed per
     # row-block).  out_ref: (T0, T1).
     groups = _collapse_terms(tuple(terms))
-    out_ref[:, :] = _eval_groups(
-        groups,
-        lambda i: x0_ref[i, :, 0][:, None] - x1_ref[i, 0, :][None, :],
-    )
+    if compensated:
+        hi, lo = _eval_groups_ff(
+            groups,
+            lambda i: (x0_ref[i, :, 0][:, None], x1_ref[i, 0, :][None, :]),
+        )
+        out_ref[:, :] = hi + lo
+    else:
+        out_ref[:, :] = _eval_groups(
+            groups,
+            lambda i: x0_ref[i, :, 0][:, None] - x1_ref[i, 0, :][None, :],
+        )
 
 
 def _round_up(x: int, m: int) -> int:
@@ -185,11 +274,11 @@ def _round_up(x: int, m: int) -> int:
 
 
 @functools.lru_cache(maxsize=None)
-def _build_pallas_gram(terms, ndims, n0p, n1p, tile0, tile1, dtype_name, interpret):
+def _build_pallas_gram(terms, ndims, n0p, n1p, tile0, tile1, dtype_name, interpret, compensated=False):
     from jax.experimental import pallas as pl
 
     dtype = jnp.dtype(dtype_name)
-    body = functools.partial(_tile_kernel_body, terms, ndims)
+    body = functools.partial(_tile_kernel_body, terms, ndims, compensated)
 
     grid = (n0p // tile0, n1p // tile1)
     return pl.pallas_call(
@@ -219,14 +308,18 @@ def _pack_lanes(X, n_pad, dtype):
     return out.at[:, 0, : X.shape[0]].set(X.astype(dtype).T)
 
 
-def pallas_gram(terms, X0: jnp.ndarray, X1: jnp.ndarray, *, interpret: bool | None = None) -> jnp.ndarray:
+def pallas_gram(terms, X0: jnp.ndarray, X1: jnp.ndarray, *, interpret: bool | None = None, compensated: bool | None = None) -> jnp.ndarray:
     """Assemble the ``(n0, n1)`` Gram of a sum-of-products kernel.
 
     ``X0``/``X1``: ``(n, d)`` point arrays (``d >= 1``; scalar-input
-    kernels pass ``d = 1``).
+    kernels pass ``d = 1``).  ``compensated=True`` evaluates every entry
+    in float-float pairs (``ops/ff.py``) — ~1e-13 per-entry error at
+    float32 storage cost; defaults to ``config.gram_compensated``.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if compensated is None:
+        compensated = config.gram_compensated
     X0 = jnp.asarray(X0)
     X1 = jnp.asarray(X1)
     if X0.ndim == 1:
@@ -245,13 +338,14 @@ def pallas_gram(terms, X0: jnp.ndarray, X1: jnp.ndarray, *, interpret: bool | No
     X1p = _pack_lanes(X1, n1p, dtype)
 
     fn = _build_pallas_gram(
-        terms, d, n0p, n1p, tile0, tile1, jnp.dtype(dtype).name, interpret
+        terms, d, n0p, n1p, tile0, tile1, jnp.dtype(dtype).name, interpret,
+        bool(compensated),
     )
     out = fn(X0p, X1p)
     return out[:n0, :n1]
 
 
-def _matvec_body(terms, ndims, x0_ref, x1_ref, v_ref, out_ref):
+def _matvec_body(terms, ndims, compensated, x0_ref, x1_ref, v_ref, out_ref):
     # Gram-free matvec tile: out[i-tile] += (G tile) @ v[j-tile].
     # Accumulates across the j grid dimension (KeOps-reduction mode).
     # Layouts as in _tile_kernel_body: x0 (d, T0, 128) lane-0, x1
@@ -260,20 +354,31 @@ def _matvec_body(terms, ndims, x0_ref, x1_ref, v_ref, out_ref):
 
     j = pl.program_id(1)
     groups = _collapse_terms(tuple(terms))
-    acc = _eval_groups(
-        groups,
-        lambda i: x0_ref[i, :, 0][:, None] - x1_ref[i, 0, :][None, :],
-    )
     # (T0, r) on the MXU.  Precision HIGHEST is load-bearing: the TPU
     # default routes f32 dots through one bf16 pass (~4e-3 relative
     # error, measured), which breaks CG convergence; the MXU is idle
     # here so the multi-pass f32 product is free.
-    partial = jax.lax.dot_general(
-        acc,
-        v_ref[:, :],
-        (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    hi_prec = jax.lax.Precision.HIGHEST
+    if compensated:
+        # Both ff planes go through the dot so the effective Gram entries
+        # keep their ~1e-13 accuracy (never rounded back to one f32).
+        acc_hi, acc_lo = _eval_groups_ff(
+            groups,
+            lambda i: (x0_ref[i, :, 0][:, None], x1_ref[i, 0, :][None, :]),
+        )
+        partial = jax.lax.dot_general(
+            acc_hi, v_ref[:, :], (((1,), (0,)), ((), ())), precision=hi_prec
+        ) + jax.lax.dot_general(
+            acc_lo, v_ref[:, :], (((1,), (0,)), ((), ())), precision=hi_prec
+        )
+    else:
+        acc = _eval_groups(
+            groups,
+            lambda i: x0_ref[i, :, 0][:, None] - x1_ref[i, 0, :][None, :],
+        )
+        partial = jax.lax.dot_general(
+            acc, v_ref[:, :], (((1,), (0,)), ((), ())), precision=hi_prec
+        )
 
     @pl.when(j == 0)
     def _():
@@ -285,11 +390,11 @@ def _matvec_body(terms, ndims, x0_ref, x1_ref, v_ref, out_ref):
 
 
 @functools.lru_cache(maxsize=None)
-def _build_pallas_gram_matvec(terms, ndims, n0p, n1p, tile0, tile1, r, dtype_name, interpret):
+def _build_pallas_gram_matvec(terms, ndims, n0p, n1p, tile0, tile1, r, dtype_name, interpret, compensated=False):
     from jax.experimental import pallas as pl
 
     dtype = jnp.dtype(dtype_name)
-    body = functools.partial(_matvec_body, terms, ndims)
+    body = functools.partial(_matvec_body, terms, ndims, compensated)
     grid = (n0p // tile0, n1p // tile1)
     return pl.pallas_call(
         body,
@@ -305,15 +410,20 @@ def _build_pallas_gram_matvec(terms, ndims, n0p, n1p, tile0, tile1, r, dtype_nam
     )
 
 
-def pallas_gram_matvec(terms, X0, X1, v, *, interpret: bool | None = None) -> jnp.ndarray:
+def pallas_gram_matvec(terms, X0, X1, v, *, interpret: bool | None = None, compensated: bool | None = None) -> jnp.ndarray:
     """``K(X0, X1) @ v`` WITHOUT materializing the Gram — O(n0 * n1)
     compute, O(n0 + n1) memory.  The TPU equivalent of KeOps' lazy
     map-reduce (reference consumption sites: SURVEY.md §2 native list).
 
-    ``v``: ``(n1,)`` or ``(n1, r)``.
+    ``v``: ``(n1,)`` or ``(n1, r)``.  ``compensated=True`` evaluates the
+    streamed Gram entries in float-float pairs and feeds BOTH planes to
+    the MXU dot — per-entry error ~1e-13 instead of the ~1e-6 TPU f32
+    transcendental floor; defaults to ``config.gram_compensated``.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if compensated is None:
+        compensated = config.gram_compensated
     X0 = jnp.asarray(X0)
     X1 = jnp.asarray(X1)
     if X0.ndim == 1:
@@ -330,8 +440,9 @@ def pallas_gram_matvec(terms, X0, X1, v, *, interpret: bool | None = None) -> jn
     rp = _round_up(r, 128)
     dtype = jnp.result_type(X0.dtype, v.dtype)
 
-    tile0 = min(config.matvec_tile, _round_up(n0, 8))
-    tile1 = min(config.matvec_tile, _round_up(n1, 128))
+    tile_cfg = config.matvec_tile_compensated if compensated else config.matvec_tile
+    tile0 = min(tile_cfg, _round_up(n0, 8))
+    tile1 = min(tile_cfg, _round_up(n1, 128))
     n0p = _round_up(n0, tile0)
     n1p = _round_up(n1, tile1)
     X0p = _pack_rows(X0, n0p, dtype)
@@ -339,7 +450,8 @@ def pallas_gram_matvec(terms, X0, X1, v, *, interpret: bool | None = None) -> jn
     vp = jnp.zeros((n1p, rp), dtype).at[:n1, :r].set(v.astype(dtype))
 
     fn = _build_pallas_gram_matvec(
-        terms, d, n0p, n1p, tile0, tile1, rp, jnp.dtype(dtype).name, interpret
+        terms, d, n0p, n1p, tile0, tile1, rp, jnp.dtype(dtype).name, interpret,
+        bool(compensated),
     )
     out = fn(X0p, X1p, vp)[:n0, :r]
     return out[:, 0] if vector else out
@@ -439,7 +551,7 @@ def _native_gram(kernel, x0, x1):
     return jax.pure_callback(_cb, out_shape, x0, x1, vmap_method="sequential")
 
 
-def gram_matvec(spec, X0, X1, v) -> jnp.ndarray:
+def gram_matvec(spec, X0, X1, v, *, compensated: bool | None = None) -> jnp.ndarray:
     """Gram-free ``K(X0, X1) @ v`` router for a ``(scale, terms)`` spec:
     Pallas lazy reduction on TPU, the native C++/OpenMP engine on the
     host CPU (above the same size threshold that gates Gram assembly —
@@ -481,7 +593,7 @@ def gram_matvec(spec, X0, X1, v) -> jnp.ndarray:
         # never a device->host round-trip on GPU).
         out = _dense_terms_matvec(terms, jnp.asarray(X0), jnp.asarray(X1), v)
         return scale * out if scale != 1.0 else out
-    out = pallas_gram_matvec(terms, X0, X1, v)
+    out = pallas_gram_matvec(terms, X0, X1, v, compensated=compensated)
     return scale * out if scale != 1.0 else out
 
 
@@ -503,7 +615,7 @@ def compact_support_radius(terms, dim: int = 0) -> float | None:
     return radius
 
 
-def _banded_matvec_body(terms, ndims, js_ref, x0_ref, x1_ref, v_ref, out_ref):
+def _banded_matvec_body(terms, ndims, compensated, js_ref, x0_ref, x1_ref, v_ref, out_ref):
     # Banded variant of _matvec_body: the j grid dimension walks a
     # per-row-tile WINDOW of column tiles (offsets prefetched in js_ref),
     # not the full column range.  Same layouts; js_ref is scalar-prefetch.
@@ -511,16 +623,25 @@ def _banded_matvec_body(terms, ndims, js_ref, x0_ref, x1_ref, v_ref, out_ref):
 
     j = pl.program_id(1)
     groups = _collapse_terms(tuple(terms))
-    acc = _eval_groups(
-        groups,
-        lambda i: x0_ref[i, :, 0][:, None] - x1_ref[i, 0, :][None, :],
-    )
-    partial = jax.lax.dot_general(
-        acc,
-        v_ref[:, :],
-        (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    hi_prec = jax.lax.Precision.HIGHEST
+    if compensated:
+        acc_hi, acc_lo = _eval_groups_ff(
+            groups,
+            lambda i: (x0_ref[i, :, 0][:, None], x1_ref[i, 0, :][None, :]),
+        )
+        partial = jax.lax.dot_general(
+            acc_hi, v_ref[:, :], (((1,), (0,)), ((), ())), precision=hi_prec
+        ) + jax.lax.dot_general(
+            acc_lo, v_ref[:, :], (((1,), (0,)), ((), ())), precision=hi_prec
+        )
+    else:
+        acc = _eval_groups(
+            groups,
+            lambda i: x0_ref[i, :, 0][:, None] - x1_ref[i, 0, :][None, :],
+        )
+        partial = jax.lax.dot_general(
+            acc, v_ref[:, :], (((1,), (0,)), ((), ())), precision=hi_prec
+        )
 
     @pl.when(j == 0)
     def _():
@@ -532,12 +653,12 @@ def _banded_matvec_body(terms, ndims, js_ref, x0_ref, x1_ref, v_ref, out_ref):
 
 
 @functools.lru_cache(maxsize=None)
-def _build_banded_matvec(terms, ndims, n0p, n1p, tile0, tile1, band, r, dtype_name, interpret):
+def _build_banded_matvec(terms, ndims, n0p, n1p, tile0, tile1, band, r, dtype_name, interpret, compensated=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     dtype = jnp.dtype(dtype_name)
-    body = functools.partial(_banded_matvec_body, terms, ndims)
+    body = functools.partial(_banded_matvec_body, terms, ndims, compensated)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n0p // tile0, band),
@@ -556,7 +677,7 @@ def _build_banded_matvec(terms, ndims, n0p, n1p, tile0, tile1, band, r, dtype_na
     )
 
 
-def make_banded_matvec(spec, X0, X1, *, radius: float | None = None, interpret: bool | None = None):
+def make_banded_matvec(spec, X0, X1, *, radius: float | None = None, interpret: bool | None = None, compensated: bool | None = None):
     """Factory for a banded gram-free matvec ``v -> scale * K(X0, X1) @ v``
     exploiting compact support: points are sorted by input dimension 0 and
     each row tile visits only the contiguous window of column tiles within
@@ -573,6 +694,8 @@ def make_banded_matvec(spec, X0, X1, *, radius: float | None = None, interpret: 
     scale, terms = spec
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if compensated is None:
+        compensated = config.gram_compensated
     X0 = np.asarray(X0)
     X1 = np.asarray(X1)
     if X0.ndim == 1:
@@ -619,24 +742,37 @@ def make_banded_matvec(spec, X0, X1, *, radius: float | None = None, interpret: 
     band = int(np.max(j_hi - j_lo + 1))
     j_start = np.clip(np.minimum(j_lo, ntiles1 - band), 0, None).astype(np.int32)
 
-    X0p = _pack_rows(jnp.asarray(X0s), n0p, dtype)
-    X1p = _pack_lanes(jnp.asarray(X1s), n1p, dtype)
     js_dev = jnp.asarray(j_start)
     perm1_dev = jnp.asarray(perm1)
     inv0_dev = jnp.asarray(inv0)
+    _packs: dict = {}
+
+    def _packed(dt):
+        key = jnp.dtype(dt).name
+        if key not in _packs:
+            _packs[key] = (
+                _pack_rows(jnp.asarray(X0s), n0p, dt),
+                _pack_lanes(jnp.asarray(X1s), n1p, dt),
+            )
+        return _packs[key]
 
     def matvec(v):
         v = jnp.asarray(v)
         vector = v.ndim == 1
         if vector:
             v = v[:, None]
+        # Per-call dtype promotion (matches pallas_gram_matvec): a f64
+        # ``v`` against f32 default points computes in f64 rather than
+        # silently downcasting.
+        dt = jnp.result_type(dtype, v.dtype)
+        X0p, X1p = _packed(dt)
         r = v.shape[1]
         rp = _round_up(r, 128)
-        vs = jnp.take(v.astype(dtype), perm1_dev, axis=0)
-        vp = jnp.zeros((n1p, rp), dtype).at[:n1, :r].set(vs)
+        vs = jnp.take(v.astype(dt), perm1_dev, axis=0)
+        vp = jnp.zeros((n1p, rp), dt).at[:n1, :r].set(vs)
         fn = _build_banded_matvec(
             terms, d, n0p, n1p, tile0, tile1, band, rp,
-            jnp.dtype(dtype).name, interpret,
+            jnp.dtype(dt).name, interpret, bool(compensated),
         )
         out = fn(js_dev, X0p, X1p, vp)[:n0, :r]
         if scale != 1.0:

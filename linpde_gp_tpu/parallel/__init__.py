@@ -11,6 +11,7 @@ from .cholesky import (
     distributed_tri_solve,
 )
 from .extend import DistributedCholFactor
+from .iterative import DistributedIterativeGPRegressor, distributed_gram_matvec
 from .posterior import sharded_posterior_eval
 from .solve import DistributedConditioner, distributed_condition
 
@@ -26,6 +27,8 @@ __all__ = [
     "distributed_chol_solve",
     "distributed_tri_solve",
     "DistributedCholFactor",
+    "DistributedIterativeGPRegressor",
+    "distributed_gram_matvec",
     "sharded_posterior_eval",
     "distributed_condition",
     "DistributedConditioner",

@@ -343,3 +343,92 @@ def test_distributed_cholesky_2d_matches_dense():
         distributed_chol_solve(jnp.asarray(L), jnp.asarray(b), mesh=mesh, block_size=16)
     )
     np.testing.assert_allclose(x, np.linalg.solve(A, b), rtol=0, atol=1e-8)
+
+
+def test_distributed_gram_matvec_matches_dense():
+    """Row-sharded streaming matvec (VERDICT r2 item 3: the mesh story
+    for the gram-free north-star path)."""
+    from linpde_gp_tpu.ops.pallas_gram import kernel_term_specs
+    from linpde_gp_tpu.parallel import distributed_gram_matvec
+
+    mesh = make_mesh(8)
+    k = 1.7 * lgt.kernels.TensorProduct(
+        lgt.kernels.Matern((), nu=1.5, lengthscales=0.8),
+        lgt.kernels.Matern((), nu=2.5, lengthscales=1.1),
+    )
+    spec = kernel_term_specs(k)
+    rng_l = np.random.default_rng(21)
+    n0, n1 = 203, 117  # deliberately NOT multiples of 8
+    X0 = rng_l.uniform(-1, 1, (n0, 2))
+    X1 = rng_l.uniform(-1, 1, (n1, 2))
+    v = rng_l.standard_normal(n1)
+    out = np.asarray(
+        distributed_gram_matvec(spec, X0, X1, jnp.asarray(v), mesh=mesh)
+    )
+    ref = np.asarray(k.matrix(jnp.asarray(X0), jnp.asarray(X1))) @ v
+    np.testing.assert_allclose(out, ref, rtol=0, atol=1e-10)
+
+
+def test_distributed_iterative_matches_single_device():
+    """Mesh PCG (sharded streaming matvec + sharded Nystrom) must agree
+    with the single-device IterativeGPRegressor to CG tolerance."""
+    from linpde_gp_tpu.models.iterative import IterativeGPRegressor
+    from linpde_gp_tpu.ops import diffops
+    from linpde_gp_tpu.parallel import DistributedIterativeGPRegressor
+
+    mesh = make_mesh(8)
+    prior = lgt.GaussianProcess(
+        lgt.functions.Zero((2,)),
+        1.3 * lgt.kernels.TensorProduct(
+            lgt.kernels.Matern((), nu=1.5, lengthscales=2.5),
+            lgt.kernels.Matern((), nu=2.5, lengthscales=2.0),
+        ),
+    )
+    H = diffops.HeatOperator((2,), alpha=0.1)
+    rng_l = np.random.default_rng(22)
+    n, nq = 1100, 77  # n NOT a multiple of 8: exercises row padding
+    X = np.stack(
+        [rng_l.uniform(0, 5, n), rng_l.uniform(-1, 1, n)], axis=-1
+    )
+    Y = rng_l.standard_normal(n)
+    Xq = np.stack(
+        [rng_l.uniform(0, 5, nq), rng_l.uniform(-1, 1, nq)], axis=-1
+    )
+
+    kw = dict(L=H, noise_variance=1e-4, tol=1e-10, maxiter=3000,
+              precond_rank=64)
+    single = IterativeGPRegressor(prior, X, Y, **kw)
+    dist = DistributedIterativeGPRegressor(prior, X, Y, mesh=mesh, **kw)
+
+    w_s = np.asarray(single.representer_weights)
+    w_d = np.asarray(dist.representer_weights)
+    assert dist.solve_info[1] < 1e-9
+    np.testing.assert_allclose(w_d, w_s, rtol=0, atol=1e-6 * np.abs(w_s).max())
+
+    m_s = np.asarray(single.mean(jnp.asarray(Xq)))
+    m_d = np.asarray(dist.mean(jnp.asarray(Xq)))
+    np.testing.assert_allclose(m_d, m_s, rtol=0, atol=1e-8)
+
+
+def test_distributed_iterative_no_preconditioner():
+    from linpde_gp_tpu.models.iterative import IterativeGPRegressor
+    from linpde_gp_tpu.parallel import DistributedIterativeGPRegressor
+
+    mesh = make_mesh(8)
+    prior = lgt.GaussianProcess(
+        lgt.functions.Zero(()),
+        2.0 * lgt.kernels.Matern((), nu=2.5, lengthscales=0.6),
+    )
+    rng_l = np.random.default_rng(23)
+    n = 96
+    X = np.sort(rng_l.uniform(-1, 1, n))
+    Y = np.sin(3 * X)
+    kw = dict(noise_variance=1e-6, tol=1e-12, maxiter=2000, precond_rank=0)
+    single = IterativeGPRegressor(prior, X, Y, **kw)
+    dist = DistributedIterativeGPRegressor(prior, X, Y, mesh=mesh, **kw)
+    xq = np.linspace(-1, 1, 33)
+    np.testing.assert_allclose(
+        np.asarray(dist.mean(jnp.asarray(xq))),
+        np.asarray(single.mean(jnp.asarray(xq))),
+        rtol=0, atol=1e-8,
+    )

@@ -255,7 +255,6 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     n = int(os.environ.get("BENCH_N", 100_000 if on_tpu else 2048))
     nq = int(os.environ.get("BENCH_NQ", 8192 if on_tpu else 512))
-    rank = int(os.environ.get("BENCH_RANK", 1024 if on_tpu else 128))
     # Observation-noise floor in float32: the PLAIN f32 evaluation chain
     # has a COHERENT per-entry error |E_ij| ~ 1e-6 * k(0) (TPU VPU
     # transcendentals), so lambda_min(K+E) drifts like -1e-6 * n * k(0)
@@ -269,6 +268,11 @@ def main():
     compensated = bool(int(os.environ.get("BENCH_COMPENSATED", 1)))
     default_noise = 1e-3 if compensated else max(3e-2, 3.0 * n / 1e6)
     noise_rel = float(os.environ.get("BENCH_NOISE", default_noise))
+    # Smaller noise -> larger kappa ~ lambda_m(Nystrom)/sigma^2: scale
+    # the preconditioner rank so the resolved tail reaches the noise
+    # level (measured at n=32768: rank 1024 -> 218 iters at noise 1e-3).
+    default_rank = (4096 if compensated else 1024) if on_tpu else 128
+    rank = int(os.environ.get("BENCH_RANK", default_rank))
     tol = float(os.environ.get("BENCH_TOL", 1e-5))
     maxiter = int(os.environ.get("BENCH_MAXITER", 512))
 

@@ -119,6 +119,12 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     n_acc = int(os.environ.get("NF_N", 4096 if on_tpu else 768))
     n_thr = int(os.environ.get("NF_THROUGHPUT_N", 32768 if on_tpu else 2048))
+    if os.environ.get("NF_TILE"):
+        lgt_tile = int(os.environ["NF_TILE"])
+        from linpde_gp_tpu.config import config as _cfg
+
+        _cfg.set(matvec_tile_compensated=lgt_tile)
+        _log(f"compensated matvec tile override: {lgt_tile}")
 
     prior_cov = 1.0 * lgt.kernels.TensorProduct(
         lgt.kernels.Matern((), nu=1.5, lengthscales=2.5),

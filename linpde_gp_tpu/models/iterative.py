@@ -21,7 +21,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.linalg.pcg import landmark_indices, nystrom_preconditioner, pcg, pcg_block
-from ..ops.pallas_gram import gram_matrix, gram_matvec, kernel_term_specs
+from ..ops.pallas_gram import (
+    compact_support_radius,
+    gram_matrix,
+    gram_matvec,
+    kernel_term_specs,
+    make_banded_matvec,
+)
 from ..ops.transforms.dispatch import apply_operator_to_kernel
 from .functions.base import Function, Zero
 from .gp import GaussianProcess
@@ -121,6 +127,28 @@ class IterativeGPRegressor:
             if linop is not None and not isinstance(linop, Dense):
                 self._gram_linop = linop
 
+        # Compact-support routing (Wendland family): when every term's
+        # dim-0 factor vanishes beyond a radius, the Gram matvec visits
+        # only the O(band) column tiles inside the support window —
+        # O(N * band) pair work instead of O(N^2) (the structural
+        # sparsity the reference never exploits; its Wendland goes
+        # through the same dense KeOps reduction as everything else,
+        # ``covfuncs/_wendland.py:23-29``).  The band schedule needs the
+        # CONCRETE points, which the constructor has.
+        self._banded = None
+        if self._gram_linop is None and self._obs_spec is not None:
+            _scale, _terms = self._obs_spec
+            if compact_support_radius(_terms, 0) is not None:
+                banded = make_banded_matvec(
+                    self._obs_spec,
+                    np.asarray(self.X.reshape(self.X.shape[0], -1)),
+                    np.asarray(self.X.reshape(self.X.shape[0], -1)),
+                    compensated=self.compensated,
+                )
+                # Only worth it if the window actually skips tiles.
+                if banded.band_tiles < banded.total_tiles:
+                    self._banded = banded
+
         n = self.X.shape[0]
         if precond_rank == "auto":
             precond_rank = min(512, n // 4) if n >= 1024 else 0
@@ -134,6 +162,8 @@ class IterativeGPRegressor:
     def _gram_matvec(self, v: jnp.ndarray) -> jnp.ndarray:
         if self._gram_linop is not None:
             return self._gram_linop @ v + self.noise_variance * v
+        if self._banded is not None:
+            return self._banded(v) + self.noise_variance * v
         x = self.X.reshape(self.X.shape[0], -1)
         if self._obs_spec is not None:
             out = gram_matvec(self._obs_spec, x, x, v, compensated=self.compensated)

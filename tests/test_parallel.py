@@ -182,6 +182,16 @@ def test_distributed_cholesky_cyclic_matches_dense():
     )
     np.testing.assert_allclose(x, np.linalg.solve(A, b), rtol=0, atol=1e-8)
 
+    # Wrap-around coverage (advisor r2): >P block-rows so devices own
+    # MULTIPLE cyclic rounds (16 blocks over P=8 = 2 rounds each).
+    n2, nb2 = 256, 16
+    A2 = rng.standard_normal((n2, n2))
+    A2 = A2 @ A2.T + n2 * np.eye(n2)
+    L2 = np.asarray(
+        distributed_cholesky_cyclic(jnp.asarray(A2), mesh=mesh, block_size=nb2)
+    )
+    np.testing.assert_allclose(L2, np.linalg.cholesky(A2), rtol=0, atol=1e-8)
+
 
 def test_distributed_chol_factor_incremental_extension():
     """Schur extension of a mesh-sharded factor (SURVEY §7 hard part #3):

@@ -295,18 +295,27 @@ def main():
     # degrade to a smaller N instead of failing the whole benchmark.
     value = None
     min_n = min(n, 4096)
-    while n >= min_n:
-        try:
-            X, Y, Xq = make_data(n)
-            value, iters, relres, t_eval = _accelerator_run(
-                k_hh, k_cross, X, Y, Xq,
-                noise_rel=noise_rel, rank=min(rank, n // 4),
-                tol=tol, maxiter=maxiter, compensated=compensated and on_tpu,
+    try:
+        X, Y, Xq = make_data(n)
+        value, iters, relres, t_eval = _accelerator_run(
+            k_hh, k_cross, X, Y, Xq,
+            noise_rel=noise_rel, rank=min(rank, n // 4),
+            tol=tol, maxiter=maxiter, compensated=compensated and on_tpu,
+        )
+    except Exception as exc:  # noqa: BLE001
+        _log(f"N={n} failed ({type(exc).__name__}: {exc})")
+        # A failed remote compile / device fault poisons THIS process's
+        # PJRT client (every later call returns UNAVAILABLE, observed on
+        # the axon tunnel) — retry the halved size in a FRESH process.
+        if n // 2 >= min_n and os.environ.get("BENCH_NO_RETRY", "0") != "1":
+            import subprocess
+
+            _log(f"retrying N={n // 2} in a fresh process")
+            env = dict(os.environ, BENCH_N=str(n // 2))
+            ret = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env
             )
-            break
-        except Exception as exc:  # noqa: BLE001
-            _log(f"N={n} failed ({type(exc).__name__}: {exc}); halving")
-            n //= 2
+            sys.exit(ret.returncode)
     if value is None:
         raise RuntimeError("benchmark failed at every problem size")
     baseline = _cpu_baseline_seconds(k_hh, n, noise_rel)

@@ -6,6 +6,7 @@ from .arithmetic import (
     SumCovarianceFunction,
     ZeroCovarianceFunction,
 )
+from .bessel import kv, matern_bessel
 from .stationary import ExpQuad, Matern, half_integer_matern_coefficients
 from .tensor_product import TensorProduct
 from .multioutput import (
@@ -32,6 +33,8 @@ __all__ = [
     "ExpQuad",
     "Matern",
     "half_integer_matern_coefficients",
+    "kv",
+    "matern_bessel",
     "TensorProduct",
     "TensorProductGrid",
     "IndependentMultiOutputCovarianceFunction",

@@ -68,9 +68,11 @@ class Matern(StationaryMixin, CovarianceFunction):
     r"""Matérn covariance with smoothness ``nu``.
 
     ``nu = inf`` degenerates to the Gaussian kernel; half-integer ``nu``
-    uses the exact polynomial closed form evaluated by a Horner chain.
-    Non-half-integer ``nu`` is not supported (the reference's jax path
-    raises ``NotImplementedError`` as well, ``covfuncs/_matern.py:46``).
+    uses the exact polynomial closed form evaluated by a Horner chain
+    (the TPU hot path).  General ``nu`` evaluates via the modified
+    Bessel function ``K_nu`` (``ops.kernels.bessel``) — capability
+    parity with probnum's numpy layer, which the reference's jax path
+    lacks (``covfuncs/_matern.py:46`` raises).
     """
 
     def __init__(self, input_shape=(), nu: float = 1.5, lengthscales=1.0):
@@ -83,13 +85,11 @@ class Matern(StationaryMixin, CovarianceFunction):
             self._scale_factors = 1.0 / (np.sqrt(2.0) * self.lengthscales)
             self._poly = None
         else:
-            if not self.is_half_integer:
-                raise NotImplementedError(
-                    "Only half-integer (and infinite) nu is supported."
-                )
             self._scale_factors = np.sqrt(2 * self._nu) / self.lengthscales
-            self._poly = RationalPolynomial(
-                half_integer_matern_coefficients(self.p)
+            self._poly = (
+                RationalPolynomial(half_integer_matern_coefficients(self.p))
+                if self.is_half_integer
+                else None
             )
 
     @property
@@ -122,6 +122,10 @@ class Matern(StationaryMixin, CovarianceFunction):
                 -self._squared_scaled_distances(x0, x1, self._scale_factors)
             )
         t = self._scaled_distances(x0, x1, self._scale_factors)
+        if self._poly is None:
+            from .bessel import matern_bessel
+
+            return matern_bessel(self._nu, t)
         return self._poly._evaluate(t) * jnp.exp(-t)
 
     def __repr__(self):

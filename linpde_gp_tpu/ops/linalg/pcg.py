@@ -203,9 +203,19 @@ def _nystrom_factors(K_XZ: jnp.ndarray, K_ZZ: jnp.ndarray, sigma_sq):
     # Stabilized pivot factor: W + δI with δ relative to its scale.
     stab = eps * jnp.trace(K_ZZ) * m
     L = jnp.linalg.cholesky(K_ZZ + stab * jnp.eye(m, dtype=K_ZZ.dtype))
-    # B = K_XZ L^{-T}  =>  B Bᵀ = K_XZ W⁻¹ K_ZXᵀ  (the Nyström approximant).
-    B = jax.scipy.linalg.solve_triangular(L, K_XZ.T, lower=True).T
     hi = jax.lax.Precision.HIGHEST
+    # B = K_XZ L^{-T}  =>  B Bᵀ = K_XZ W⁻¹ K_ZXᵀ  (the Nyström approximant).
+    # Computed as an explicit m×m triangular inverse + one MXU GEMM: a
+    # blocked triangular_solve against an (m, n) RHS unrolls into a chain
+    # of non-aliased (m, n) update-slice temps on TPU — measured 26.6 GB
+    # HBM at m=4096, n=1e5 (OOM on a 16 GB chip) — while the inverse
+    # keeps all temps m×m and the GEMM is a single streaming pass.  The
+    # accuracy difference (both are O(eps·cond(L))) is irrelevant for a
+    # preconditioner.
+    L_inv = jax.scipy.linalg.solve_triangular(
+        L, jnp.eye(m, dtype=L.dtype), lower=True
+    )
+    B = jnp.matmul(K_XZ, L_inv.T, precision=hi)
     C0 = jnp.matmul(B.T, B, precision=hi)  # BᵀB: eigenvalues of BBᵀ
     C0 = 0.5 * (C0 + C0.T)
     # λ_m (smallest Nyström eigenvalue) — eigenVALUES only; clamp the

@@ -46,6 +46,8 @@ def product_factor_specs(kernel: CovarianceFunction):
     if isinstance(kernel, Matern):
         if kernel.input_size > 1:
             return None  # isotropic multivariate Matérn is not a product
+        if kernel.nu != np.inf and not kernel.is_half_integer:
+            return None  # general nu: Bessel eval, autodiff fallback
         l = float(np.ravel(kernel.lengthscales)[0]) if kernel.lengthscales.size else float(kernel.lengthscales)
         nu = kernel.nu
         return [lambda m, n, l=l, nu=nu: matern_factor(nu, l, m, n)]

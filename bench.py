@@ -240,6 +240,31 @@ def _enable_persistent_cache():
         pass
 
 
+def _mode_params(mode: str, n: int, on_tpu: bool) -> dict:
+    """Benchmark configurations, most accurate first.
+
+    - ``ff``: compensated float-float Gram evaluation (``ops/ff.py``) —
+      per-entry error ~1e-13, so realistic noise 1e-3 conditions fine at
+      the north-star n=1e5 (the plain-f32 coherent error floor would
+      force 10% noise there; see PERFORMANCE.md).
+    - ``plain``: the round-2 known-good program — plain f32 streaming
+      evaluation, noise ``max(3e-2, 3n/1e6)`` (the measured f32 noise
+      floor), rank-1024 Nystrom.  Always kept as the fail-safe fallback
+      so the driver captures a number even if the ff program regresses.
+    """
+    if mode == "ff":
+        return dict(
+            compensated=on_tpu,
+            noise_rel=float(os.environ.get("BENCH_NOISE", 1e-3)),
+            rank=int(os.environ.get("BENCH_RANK", 4096 if on_tpu else 128)),
+        )
+    return dict(
+        compensated=False,
+        noise_rel=float(os.environ.get("BENCH_NOISE", max(3e-2, 3.0 * n / 1e6))),
+        rank=int(os.environ.get("BENCH_RANK", 1024 if on_tpu else 128)),
+    )
+
+
 def main():
     import jax
 
@@ -255,24 +280,18 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     n = int(os.environ.get("BENCH_N", 100_000 if on_tpu else 2048))
     nq = int(os.environ.get("BENCH_NQ", 8192 if on_tpu else 512))
-    # Observation-noise floor in float32: the PLAIN f32 evaluation chain
-    # has a COHERENT per-entry error |E_ij| ~ 1e-6 * k(0) (TPU VPU
-    # transcendentals), so lambda_min(K+E) drifts like -1e-6 * n * k(0)
-    # and CG stalls once sigma^2 is below that (measured in round 2:
-    # noise 3e-2 converges at n=32,768, stalls at n>=98,304; 1e-1 needed
-    # at n=1e5).  The COMPENSATED float-float chain (default since round
-    # 3; ops/ff.py) drops the coherent error to ~1e-13 per entry, leaving
-    # only the incoherent final-rounding/accumulation noise
-    # (~sqrt(n)*eps32), so realistic noise levels condition fine:
-    # default 1e-3 at the north-star n=1e5 (VERDICT r2 item 1).
+    # Fail-safe mode ladder (VERDICT r3 item 1): try the compensated
+    # small-noise program first, and on ANY failure retry the SAME N
+    # with the round-2 known-good plain-f32 program in a fresh process
+    # (a device fault poisons this process's PJRT client).  Only when
+    # every mode fails at N do we halve N.
     compensated = bool(int(os.environ.get("BENCH_COMPENSATED", 1)))
-    default_noise = 1e-3 if compensated else max(3e-2, 3.0 * n / 1e6)
-    noise_rel = float(os.environ.get("BENCH_NOISE", default_noise))
-    # Smaller noise -> larger kappa ~ lambda_m(Nystrom)/sigma^2: scale
-    # the preconditioner rank so the resolved tail reaches the noise
-    # level (measured at n=32768: rank 1024 -> 218 iters at noise 1e-3).
-    default_rank = (4096 if compensated else 1024) if on_tpu else 128
-    rank = int(os.environ.get("BENCH_RANK", default_rank))
+    default_modes = "ff,plain" if (compensated and on_tpu) else "plain"
+    modes = [m for m in os.environ.get("BENCH_MODES", default_modes).split(",") if m]
+    mode = modes[0]
+    params = _mode_params(mode, n, on_tpu)
+    noise_rel = params["noise_rel"]
+    rank = params["rank"]
     tol = float(os.environ.get("BENCH_TOL", 1e-5))
     maxiter = int(os.environ.get("BENCH_MAXITER", 512))
 
@@ -291,27 +310,37 @@ def main():
         ).astype(dtype)
         return X, Y, Xq
 
-    # The tunneled chip can be left with leaked buffers by dead sessions;
-    # degrade to a smaller N instead of failing the whole benchmark.
     value = None
     min_n = min(n, 4096)
+    _log(f"mode={mode} n={n} noise={noise_rel:g} rank={rank} "
+         f"(ladder: {','.join(modes)})")
     try:
         X, Y, Xq = make_data(n)
         value, iters, relres, t_eval = _accelerator_run(
             k_hh, k_cross, X, Y, Xq,
             noise_rel=noise_rel, rank=min(rank, n // 4),
-            tol=tol, maxiter=maxiter, compensated=compensated and on_tpu,
+            tol=tol, maxiter=maxiter, compensated=params["compensated"],
         )
     except Exception as exc:  # noqa: BLE001
-        _log(f"N={n} failed ({type(exc).__name__}: {exc})")
+        _log(f"mode={mode} N={n} failed ({type(exc).__name__}: {exc})")
         # A failed remote compile / device fault poisons THIS process's
         # PJRT client (every later call returns UNAVAILABLE, observed on
-        # the axon tunnel) — retry the halved size in a FRESH process.
-        if n // 2 >= min_n and os.environ.get("BENCH_NO_RETRY", "0") != "1":
+        # the axon tunnel) — retry in a FRESH process: first the next
+        # mode at the SAME N (the plain program is warm in the
+        # persistent cache), only then a smaller N.
+        if os.environ.get("BENCH_NO_RETRY", "0") != "1":
             import subprocess
 
-            _log(f"retrying N={n // 2} in a fresh process")
-            env = dict(os.environ, BENCH_N=str(n // 2))
+            if len(modes) > 1:
+                _log(f"falling back to mode={modes[1]} at N={n} (fresh process)")
+                env = dict(os.environ, BENCH_MODES=",".join(modes[1:]))
+            elif n // 2 >= min_n:
+                _log(f"retrying N={n // 2} plain in a fresh process")
+                env = dict(
+                    os.environ, BENCH_N=str(n // 2), BENCH_MODES="plain"
+                )
+            else:
+                raise
             ret = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)], env=env
             )

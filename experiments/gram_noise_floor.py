@@ -23,6 +23,8 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def _log(msg):
     print(f"# noise_floor: {msg}", file=sys.stderr, flush=True)

@@ -73,6 +73,18 @@ class Matern(StationaryMixin, CovarianceFunction):
     Bessel function ``K_nu`` (``ops.kernels.bessel``) — capability
     parity with probnum's numpy layer, which the reference's jax path
     lacks (``covfuncs/_matern.py:46`` raises).
+
+    Examples
+    --------
+    >>> import jax.numpy as jnp
+    >>> from linpde_gp_tpu.ops.kernels import Matern
+    >>> k = Matern((), nu=1.5, lengthscales=1.0)
+    >>> float(k(jnp.asarray(0.0), jnp.asarray(0.0)))
+    1.0
+    >>> round(float(k(jnp.asarray(0.0), jnp.asarray(1.0))), 6)
+    0.483358
+    >>> k.matrix(jnp.linspace(0.0, 1.0, 3)).shape
+    (3, 3)
     """
 
     def __init__(self, input_shape=(), nu: float = 1.5, lengthscales=1.0):

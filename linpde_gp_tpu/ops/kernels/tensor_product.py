@@ -16,6 +16,21 @@ from .base import CovarianceFunction
 
 
 class TensorProduct(CovarianceFunction):
+    r"""``k(x, y) = ∏_i k_i(x_i, y_i)`` over scalar-input factor kernels
+    (reference: ``covfuncs/_tensor_product.py``); the canonical prior for
+    space-time PDE problems.
+
+    Examples
+    --------
+    >>> import jax.numpy as jnp
+    >>> from linpde_gp_tpu.ops.kernels import Matern, TensorProduct
+    >>> kt = TensorProduct(Matern((), nu=1.5), Matern((), nu=2.5))
+    >>> kt.input_shape
+    (2,)
+    >>> round(float(kt(jnp.zeros(2), jnp.ones(2))), 6)
+    0.253277
+    """
+
     def __init__(self, *factors: CovarianceFunction):
         factors = tuple(factors)
         if not all(f.input_shape == () for f in factors):

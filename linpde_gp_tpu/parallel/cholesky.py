@@ -312,6 +312,7 @@ def distributed_cholesky_2d(
     mesh: Mesh,
     block_size: int = 256,
     jitter: float | None = None,
+    unroll: bool | None = None,
 ) -> jnp.ndarray:
     """2-D block-cyclic distributed Cholesky (ScaLAPACK ``pdpotrf``
     layout) over a ``(rows: Pr, cols: Pc)`` mesh with ``Pr | Pc``.
@@ -335,6 +336,15 @@ def distributed_cholesky_2d(
     Communication per device is O(n²/Pr) total vs O(n²) for the 1-D
     variants — the pod-scale variant promised in PERFORMANCE.md: on a
     square mesh ``Pr = √P`` this is the classic O(n²/√P).
+
+    ``unroll=True`` (default for <= 128 block-columns) bakes every step's
+    slice offsets and routing indices into the program as constants —
+    exact-width GEMMs, n³/(3P) FLOPs per device.  Above 128 block-columns
+    a MASKED ``fori_loop`` body takes over (VERDICT r3 item 5): dynamic
+    slice offsets, full-width local GEMMs with zero-masked stale blocks —
+    ~3x the ideal FLOPs but a single compiled program at ANY n, keeping
+    the O(n²/Pr) communication advantage at north-star sizes (e.g.
+    N=1e5 / nb=256 = 391 block-columns).
     """
     names = mesh.axis_names
     if len(names) != 2:
@@ -354,6 +364,8 @@ def distributed_cholesky_2d(
     m_ratio = Pc // Pr
     if jitter is None:
         jitter = config.cholesky_jitter
+    if unroll is None:
+        unroll = nblocks <= 128
     hi = jax.lax.Precision.HIGHEST
 
     import numpy as np
@@ -382,6 +394,83 @@ def distributed_cholesky_2d(
             local_sum = jnp.sum(a_loc * diag_mask)
             diag_scale = jax.lax.psum(local_sum, (rn, cn)) / n
             a_loc = a_loc + (jitter * diag_scale) * diag_mask
+
+        if not unroll:
+            # Masked fori_loop body: dynamic slice offsets, full-width
+            # local GEMM with zero-masked stale blocks — one compiled
+            # program at any nblocks (the unrolled path's compile time
+            # is O(nblocks); this one is O(1)).
+            gb_all = (li // nb) * Pr + r  # (rows_per_dev,) row-block ids
+            rin_all = li % nb
+            bcols_all = jax.lax.broadcasted_iota(
+                jnp.int32, (rows_per_dev, nb), 1
+            )
+            tri_all = bcols_all <= rin_all[:, None]
+            ts_all = jax.lax.broadcasted_iota(
+                jnp.int32, (cols_per_dev // nb, 1), 0
+            )[:, 0]
+            src_slot = ts_all * m_ratio + (c // Pr)  # (n_col_blocks,)
+            pos_all = jnp.clip(
+                src_slot[:, None] * nb + jnp.arange(nb)[None, :],
+                0, rows_per_dev - 1,
+            ).reshape(-1)
+            jblk_all = ts_all * Pc + c  # global col-block ids of my cols
+
+            def step(k, a_loc):
+                kr, kc = jnp.mod(k, Pr), jnp.mod(k, Pc)
+                lo_r = (k // Pr) * nb
+                lo_c = (k // Pc) * nb
+                z0 = jnp.zeros((), lo_c.dtype)
+                on_kc = c == kc
+                cpan = jax.lax.dynamic_slice(
+                    a_loc, (z0, lo_c), (rows_per_dev, nb)
+                )
+                d_blk = jax.lax.psum(
+                    jnp.where(
+                        (r == kr) & on_kc,
+                        jax.lax.dynamic_slice(
+                            cpan, (lo_r, z0), (nb, nb)
+                        ),
+                        0.0,
+                    ),
+                    (rn, cn),
+                )
+                d_blk = 0.5 * (d_blk + d_blk.T)
+                l_d = jnp.linalg.cholesky(d_blk)
+                l_pan = jax.lax.linalg.triangular_solve(
+                    l_d, cpan, left_side=False, lower=True, transpose_a=True
+                )
+                after = (gb_all > k)[:, None]
+                at_diag = (gb_all == k)[:, None]
+                l_masked = jnp.where(
+                    after, l_pan, jnp.where(at_diag & tri_all, l_pan, 0.0)
+                )
+                # Rows with gb < k get zeros written into column block k
+                # — that region is strictly upper and dead from here on.
+                new_col = jnp.where(on_kc, l_masked, cpan)
+                a_loc = jax.lax.dynamic_update_slice(
+                    a_loc, new_col, (z0, lo_c)
+                )
+                l_trail = jnp.where(after, l_masked, 0.0)
+                # Row route + transpose route (see the unrolled path).
+                row_pan = jax.lax.psum(jnp.where(on_kc, l_trail, 0.0), cn)
+                col_full = jax.lax.psum(
+                    jnp.where(r == jnp.mod(c, Pr), row_pan, 0.0), rn
+                )
+                l_col = jnp.take(col_full, pos_all, axis=0)
+                keep = (jblk_all > k)[:, None, None]
+                l_col = (
+                    l_col.reshape(-1, nb, nb)
+                    * keep.astype(l_col.dtype)
+                ).reshape(-1, nb)
+                # Stale rows/cols contribute exact zeros, so the
+                # full-width GEMM needs no further masking.
+                upd = jnp.matmul(row_pan, l_col.T, precision=hi)
+                return a_loc - upd
+
+            a_loc = jax.lax.fori_loop(0, nblocks, step, a_loc)
+            upper = g_col[None, :] > g_row[:, None]
+            return jnp.where(upper, 0.0, a_loc)
 
         for k in range(nblocks):
             kr, kc = k % Pr, k % Pc

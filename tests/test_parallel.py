@@ -355,6 +355,31 @@ def test_distributed_cholesky_2d_matches_dense():
     np.testing.assert_allclose(x, np.linalg.solve(A, b), rtol=0, atol=1e-8)
 
 
+def test_distributed_cholesky_2d_masked_many_blocks():
+    """Masked fori_loop 2-D body above the 128-block unroll cap
+    (VERDICT r3 item 5: the north-star-size regime, e.g. N=1e5/nb=256 =
+    391 block-columns, must route 2-D)."""
+    from linpde_gp_tpu.parallel import distributed_cholesky_2d
+    from linpde_gp_tpu.parallel.solve import _factorize
+
+    mesh = make_mesh(8)  # 2 x 4
+    rng_l = np.random.default_rng(11)
+    nb = 4
+    n = nb * 8 * 17  # 544 -> 136 block-columns > 128
+    A = rng_l.standard_normal((n, n))
+    A = A @ A.T + n * np.eye(n)
+    L = np.asarray(
+        distributed_cholesky_2d(jnp.asarray(A), mesh=mesh, block_size=nb, jitter=0.0)
+    )
+    np.testing.assert_allclose(L, np.linalg.cholesky(A), rtol=0, atol=1e-8)
+
+    # The auto-router must pick the 2-D layout above 128 block-columns
+    # (it used to fall back to the masked contiguous 1-D variant).
+    lgt.config.set(cholesky_jitter=0.0)
+    L2 = np.asarray(_factorize(jnp.asarray(A), mesh=mesh, block_size=nb))
+    np.testing.assert_allclose(L2, L, rtol=0, atol=1e-10)
+
+
 def test_distributed_gram_matvec_matches_dense():
     """Row-sharded streaming matvec (VERDICT r2 item 3: the mesh story
     for the gram-free north-star path)."""
@@ -418,6 +443,13 @@ def test_distributed_iterative_matches_single_device():
     m_s = np.asarray(single.mean(jnp.asarray(Xq)))
     m_d = np.asarray(dist.mean(jnp.asarray(Xq)))
     np.testing.assert_allclose(m_d, m_s, rtol=0, atol=1e-8)
+
+    # Pointwise variance: mesh blocked multi-RHS PCG vs the single-device
+    # pcg_block path (VERDICT r3 item 4).  block_size=32 forces several
+    # query blocks including a padded last block.
+    v_s = np.asarray(single.var(jnp.asarray(Xq)))
+    v_d = np.asarray(dist.var(jnp.asarray(Xq), block_size=32))
+    np.testing.assert_allclose(v_d, v_s, rtol=0, atol=1e-8)
 
 
 def test_distributed_iterative_no_preconditioner():

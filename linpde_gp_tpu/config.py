@@ -55,11 +55,11 @@ class _Config:
 
     #: Compensated (float-float) streaming Gram evaluation: carry the
     #: distance/Horner/exp chains in hi/lo float32 pairs (``ops/ff.py``),
-    #: dropping the coherent per-entry evaluation error from ~1e-6 (TPU
-    #: f32 transcendental floor) to ~1e-13 at a measured ~3-4x pair-
-    #: throughput cost.  Turn on for small-noise conditioning at large N
-    #: (the f32 floor makes the computed Gram indefinite at
-    #: ``sigma^2 < ~1e-6 * N * k(0)``; see PERFORMANCE.md).
+    #: dropping the coherent evaluation error ||E||_2 from ~3.3e-7*n to
+    #: ~2.4e-10*n of k(0) at a measured 5.4x pair-throughput cost (chip
+    #: numbers: PERFORMANCE.md round-4 table).  Turn on for small-noise
+    #: conditioning at large N (the plain-f32 floor makes the computed
+    #: Gram indefinite at ``sigma^2 < ~3e-7 * N * k(0)``).
     gram_compensated: bool = False
 
     #: Tile size of the compensated matvec (smaller: the ff evaluator

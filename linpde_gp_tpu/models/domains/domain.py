@@ -253,6 +253,20 @@ class Box(CartesianProduct):
 
 
 def asdomain(obj) -> Domain:
+    """Coerce ``obj`` into a :class:`Domain` (reference:
+    ``domains/_asdomain.py``): 2-sequences become intervals, scalars
+    points, (d, 2) arrays boxes.
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> asdomain([0.0, 1.0])
+    Interval(0.0, 1.0)
+    >>> np.asarray(asdomain([0.0, 1.0]).uniform_grid(3))
+    array([0. , 0.5, 1. ])
+    >>> asdomain(np.asarray([[0.0, 1.0], [0.0, 2.0]])).shape
+    (2,)
+    """
     if isinstance(obj, Domain):
         return obj
     if isinstance(obj, (list, tuple)) and len(obj) == 2 and np.ndim(obj[0]) == 0:

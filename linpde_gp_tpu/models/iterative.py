@@ -57,6 +57,18 @@ class IterativeGPRegressor:
         Smooth-kernel Grams have fast-decaying spectra, so a modest rank
         collapses the CG iteration count from hundreds to tens at an
         O(n·m²) one-off matmul cost.
+
+    Examples
+    --------
+    >>> import numpy as np, jax.numpy as jnp
+    >>> import linpde_gp_tpu as lgt
+    >>> prior = lgt.GaussianProcess(
+    ...     lgt.functions.Zero(()), lgt.kernels.Matern((), nu=2.5))
+    >>> X = np.linspace(-1.0, 1.0, 32)
+    >>> reg = IterativeGPRegressor(
+    ...     prior, X, np.sin(3.0 * X), noise_variance=1e-8, tol=1e-12)
+    >>> bool(abs(float(reg.mean(jnp.asarray(0.5))) - np.sin(1.5)) < 1e-4)
+    True
     """
 
     def __init__(
@@ -71,7 +83,21 @@ class IterativeGPRegressor:
         maxiter: int = 512,
         precond_rank: int | str = "auto",
         compensated: bool | None = None,
+        anchor_X=None,
+        anchor_Y=None,
+        anchor_noise: float = 1e-8,
     ):
+        """``anchor_X``/``anchor_Y``: an optional SMALL second batch of
+        plain evaluation observations ``u(x) + eps`` (initial/boundary
+        conditions of a PDE problem) conditioned JOINTLY with the large
+        operator batch — the gram-free analogue of the reference's
+        multi-batch conditioning (``_conditional.py``; its heat-1D
+        experiment conditions on IC + BC + PDE).  Solved by block
+        elimination: the dense anchor block ``A11 = k(X1,X1) + s1^2 I``
+        is factorized once (O(n1^3), n1 small), and CG runs on the
+        SPD Schur complement ``S = A22 - W A11^{-1} W^T`` whose matvec
+        is the streaming O(N^2) reduction plus two thin (N, n1) GEMMs.
+        """
         if prior.output_shape != ():
             raise ValueError("IterativeGPRegressor supports scalar outputs.")
         self.prior = prior
@@ -155,7 +181,27 @@ class IterativeGPRegressor:
         self.precond_rank = int(precond_rank)
         self._precond = None
 
+        # -- anchor (evaluation) batch: block-elimination setup ---------
+        self._anchors = None
+        if anchor_X is not None:
+            X1 = jnp.asarray(anchor_X).reshape((-1,) + prior.input_shape)
+            Y1 = jnp.asarray(anchor_Y).reshape(-1)
+            # W[i, j] = Cov(L u(X_i), u(X1_j)) = (L k)(X_i, X1_j).
+            k_Lk = (
+                apply_operator_to_kernel(L, k, argnum=0) if L is not None else k
+            )
+            A11_g = gram_matrix(k, X1, X1)
+            A11 = A11_g + anchor_noise * jnp.eye(X1.shape[0], dtype=A11_g.dtype)
+            self._anchors = dict(
+                X1=X1,
+                Y1=Y1,
+                k_Lk=k_Lk,
+                chol1=jnp.linalg.cholesky(A11),
+                W=gram_matrix(k_Lk, self.X, X1),  # (n, n1)
+            )
+
         self._weights = None
+        self._anchor_weights = None
         self._solve_info = None
 
     # ------------------------------------------------------------------
@@ -185,9 +231,19 @@ class IterativeGPRegressor:
             )
         return self._precond
 
+    def _schur_matvec(self, v: jnp.ndarray) -> jnp.ndarray:
+        """``S v`` with ``S = A22 − W A11^{-1} Wᵀ`` (just ``A22 v`` when
+        no anchors): the CG operator of the block-eliminated system."""
+        out = self._gram_matvec(v)
+        if self._anchors is not None:
+            a = self._anchors
+            t = jax.scipy.linalg.cho_solve((a["chol1"], True), a["W"].T @ v)
+            out = out - a["W"] @ t
+        return out
+
     def _solve(self, rhs: jnp.ndarray) -> jnp.ndarray:
         res = pcg(
-            self._gram_matvec,
+            self._schur_matvec,
             rhs,
             M=self._preconditioner(),
             tol=self.tol,
@@ -205,7 +261,16 @@ class IterativeGPRegressor:
     def representer_weights(self) -> jnp.ndarray:
         if self._weights is None:
             resid = self.Y - self._mean_obs(self.X).reshape(-1)
-            self._weights = self._solve(resid)
+            if self._anchors is None:
+                self._weights = self._solve(resid)
+            else:
+                a = self._anchors
+                r1 = a["Y1"] - self.prior.mean(a["X1"]).reshape(-1)
+                t1 = jax.scipy.linalg.cho_solve((a["chol1"], True), r1)
+                self._weights = self._solve(resid - a["W"] @ t1)
+                self._anchor_weights = jax.scipy.linalg.cho_solve(
+                    (a["chol1"], True), r1 - a["W"].T @ self._weights
+                )
         return self._weights
 
     # ------------------------------------------------------------------
@@ -224,6 +289,11 @@ class IterativeGPRegressor:
             )
         else:
             update = gram_matrix(self._k_cross, xq, self.X) @ w
+        if self._anchors is not None:
+            a = self._anchors
+            update = update + gram_matrix(
+                self.prior.cov, xq, a["X1"]
+            ) @ self._anchor_weights
         m = self.prior.mean(xq).reshape(-1)
         return (m + update).reshape(batch)
 
@@ -231,11 +301,17 @@ class IterativeGPRegressor:
         """Posterior variance by BLOCKED multi-RHS CG: each iteration is
         one shared ``(n, B)`` streaming Gram mat-mat, so a block of ``B``
         query columns costs ~one CG solve's worth of Gram traffic instead
-        of ``B`` independent solves (O(N² · nq / B) total pair work)."""
+        of ``B`` independent solves (O(N² · nq / B) total pair work).
+        With anchors the update is the block quadratic form of the full
+        2×2 system, evaluated through the same Schur elimination as the
+        weights."""
         x = jnp.asarray(x)
         batch = x.shape[: x.ndim - len(self.prior.input_shape)]
         xq = x.reshape((-1,) + self.prior.input_shape)
         kxX = gram_matrix(self._k_cross, xq, self.X)  # (nq, n)
+        anchors = self._anchors
+        if anchors is not None:
+            kx1 = gram_matrix(self.prior.cov, xq, anchors["X1"])  # (nq, n1)
 
         M = self._preconditioner()
         nq = kxX.shape[0]
@@ -245,21 +321,48 @@ class IterativeGPRegressor:
             [kxX, jnp.zeros((pad, kxX.shape[1]), kxX.dtype)], axis=0
         )
 
-        def solve_block(rhs_block):  # (bs, n) -> (bs, n)
-            return pcg_block(
-                self._gram_matvec,
-                rhs_block.T,
-                M=M,
-                tol=self.tol,
+        def schur_block(rhs_block):  # (bs, n) -> update (bs,)
+            U2 = rhs_block.T  # (n, bs)
+            S2 = pcg_block(
+                self._schur_matvec, U2, M=M, tol=self.tol,
                 maxiter=self.maxiter,
-            ).x.T
+            ).x
+            return jnp.sum(U2 * S2, axis=0)
 
-        sols = jax.lax.map(
-            solve_block, rhs_all.reshape(-1, bs, kxX.shape[1])
-        ).reshape(-1, kxX.shape[1])[:nq]
+        if anchors is None:
+            updates = jax.lax.map(
+                schur_block, rhs_all.reshape(-1, bs, kxX.shape[1])
+            ).reshape(-1)[:nq]
+        else:
+            a = anchors
+            kx1_all = jnp.concatenate(
+                [kx1, jnp.zeros((pad, kx1.shape[1]), kx1.dtype)], axis=0
+            )
+
+            def anchored_block(args):
+                rhs_block, kx1_block = args
+                U2 = rhs_block.T  # (n, bs)
+                U1 = kx1_block.T  # (n1, bs)
+                T1 = jax.scipy.linalg.cho_solve((a["chol1"], True), U1)
+                R2 = U2 - a["W"] @ T1
+                S2 = pcg_block(
+                    self._schur_matvec, R2, M=M, tol=self.tol,
+                    maxiter=self.maxiter,
+                ).x
+                Z1 = T1 - jax.scipy.linalg.cho_solve(
+                    (a["chol1"], True), a["W"].T @ S2
+                )
+                return jnp.sum(U2 * S2, axis=0) + jnp.sum(U1 * Z1, axis=0)
+
+            updates = jax.lax.map(
+                anchored_block,
+                (
+                    rhs_all.reshape(-1, bs, kxX.shape[1]),
+                    kx1_all.reshape(-1, bs, kx1.shape[1]),
+                ),
+            ).reshape(-1)[:nq]
         prior_var = self.prior.cov(xq)
-        update = jnp.sum(kxX * sols, axis=-1)
-        return jnp.maximum(prior_var - update, 0.0).reshape(batch)
+        return jnp.maximum(prior_var - updates, 0.0).reshape(batch)
 
     def std(self, x, **kw) -> jnp.ndarray:
         return jnp.sqrt(self.var(x, **kw))

@@ -54,7 +54,19 @@ class Constant(RandomVariable):
 
 
 class Normal(RandomVariable):
-    """Multivariate normal with a ``Covariance``-view second moment."""
+    """Multivariate normal with a ``Covariance``-view second moment.
+
+    Examples
+    --------
+    >>> import numpy as np, jax.numpy as jnp
+    >>> rv = Normal(jnp.zeros(2), 2.0 * jnp.eye(2))
+    >>> rv.shape
+    (2,)
+    >>> post = rv.condition_on_observations(
+    ...     jnp.asarray([1.0]), transform=jnp.asarray([[1.0, 0.0]]))
+    >>> np.round(np.asarray(post.mean), 4)
+    array([1., 0.])
+    """
 
     def __init__(self, mean, cov):
         self._mean = jnp.asarray(mean)

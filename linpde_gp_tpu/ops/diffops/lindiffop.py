@@ -197,7 +197,17 @@ class WeightedLaplacian(LinearDifferentialOperator):
 
 
 class Laplacian(WeightedLaplacian):
-    """Reference: ``_laplacian.py:77``."""
+    """Reference: ``_laplacian.py:77``.
+
+    Examples
+    --------
+    >>> import jax.numpy as jnp
+    >>> import linpde_gp_tpu as lgt
+    >>> D = Laplacian(())
+    >>> f = lgt.functions.Polynomial([0.0, 0.0, 1.0])  # x**2
+    >>> float(D(f)(jnp.asarray(0.7)))  # (x**2)'' == 2
+    2.0
+    """
 
     def __init__(self, domain_shape):
         domain_shape = as_shape(domain_shape)

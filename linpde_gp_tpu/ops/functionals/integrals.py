@@ -43,7 +43,25 @@ def interval_quadrature(a: float, b: float, order: int, panels: int):
 
 
 class LebesgueIntegral(LinearFunctional):
-    r"""``f ↦ ∫_domain f(x) dx``."""
+    r"""``f ↦ ∫_domain f(x) dx``.
+
+    Applied to a :class:`GaussianProcess` it returns the (Gaussian)
+    pushforward random variable; applied to a plain function it
+    integrates by fixed-order Gauss-Legendre panels (exact Matérn
+    shortcuts route through ``transforms/integrals_exact.py``).
+
+    Examples
+    --------
+    >>> import linpde_gp_tpu as lgt
+    >>> I = LebesgueIntegral(lgt.domains.asdomain([0.0, 1.0]))
+    >>> round(float(I(lgt.functions.Polynomial([0.0, 2.0]))), 6)
+    1.0
+    >>> gp = lgt.GaussianProcess(
+    ...     lgt.functions.Zero(()), lgt.kernels.Matern((), nu=1.5))
+    >>> rv = I(gp)  # Gaussian pushforward of the prior
+    >>> round(float(rv.std), 4)
+    0.9314
+    """
 
     def __init__(self, domain=None, codomain_shape=(), *, input_domain=None) -> None:
         if domain is None:

@@ -51,6 +51,16 @@ def pcg(
     ``M`` applies an approximation of ``A⁻¹``.  The loop is a
     ``lax.while_loop`` — jittable, differentiable-free hot path, one
     compiled program regardless of iteration count.
+
+    Examples
+    --------
+    >>> import numpy as np, jax.numpy as jnp
+    >>> d = jnp.asarray([1.0, 2.0, 3.0])
+    >>> res = pcg(lambda v: d * v, jnp.ones(3), tol=1e-12)
+    >>> int(res.iterations)
+    3
+    >>> np.round(np.asarray(res.x), 6)
+    array([1.      , 0.5     , 0.333333])
     """
     if M is None:
         M = lambda r: r  # noqa: E731

@@ -677,6 +677,26 @@ def _build_banded_matvec(terms, ndims, n0p, n1p, tile0, tile1, band, r, dtype_na
     )
 
 
+def band_windows(X0s, n0_real, c1_sorted, radius, tile0, tile1, n0p):
+    """Per-row-tile column-tile windows ``[j_lo, j_hi]`` covering all
+    real column points within ``radius`` of the tile's rows.  ``X0s``:
+    the (padded-size irrelevant) sorted row points; ``c1_sorted``: the
+    sorted dim-0 column coordinates.  Padded slots carry ``v = 0``, so
+    only real pairs constrain the band."""
+    ntiles0 = n0p // tile0
+    j_lo = np.zeros(ntiles0, np.int64)
+    j_hi = np.zeros(ntiles0, np.int64)
+    for it in range(ntiles0):
+        rows = X0s[it * tile0 : min((it + 1) * tile0, n0_real), 0]
+        if rows.size == 0:  # fully padded row tile: any valid window
+            continue
+        a = int(np.searchsorted(c1_sorted, rows.min() - radius, "left"))
+        b = int(np.searchsorted(c1_sorted, rows.max() + radius, "right"))
+        j_lo[it] = a // tile1
+        j_hi[it] = max(b - 1, a) // tile1
+    return j_lo, j_hi
+
+
 def make_banded_matvec(spec, X0, X1, *, radius: float | None = None, interpret: bool | None = None, compensated: bool | None = None):
     """Factory for a banded gram-free matvec ``v -> scale * K(X0, X1) @ v``
     exploiting compact support: points are sorted by input dimension 0 and
@@ -722,23 +742,8 @@ def make_banded_matvec(spec, X0, X1, *, radius: float | None = None, interpret: 
     tile1 = min(config.matvec_tile, _round_up(n1, 128))
     n0p = _round_up(n0, tile0)
     n1p = _round_up(n1, tile1)
-    ntiles0 = n0p // tile0
     ntiles1 = n1p // tile1
-
-    # Per-row-tile column-tile window [j_lo, j_hi] covering all real
-    # column points within the support radius.  Padded slots carry v = 0,
-    # so only real pairs constrain the band.
-    c1 = X1s[:, 0]
-    j_lo = np.zeros(ntiles0, np.int64)
-    j_hi = np.zeros(ntiles0, np.int64)
-    for it in range(ntiles0):
-        rows = X0s[it * tile0 : min((it + 1) * tile0, n0), 0]
-        if rows.size == 0:  # fully padded row tile: any valid window
-            continue
-        a = int(np.searchsorted(c1, rows.min() - radius, "left"))
-        b = int(np.searchsorted(c1, rows.max() + radius, "right"))
-        j_lo[it] = a // tile1
-        j_hi[it] = max(b - 1, a) // tile1
+    j_lo, j_hi = band_windows(X0s, n0, X1s[:, 0], radius, tile0, tile1, n0p)
     band = int(np.max(j_hi - j_lo + 1))
     j_start = np.clip(np.minimum(j_lo, ntiles1 - band), 0, None).astype(np.int32)
 
@@ -748,13 +753,21 @@ def make_banded_matvec(spec, X0, X1, *, radius: float | None = None, interpret: 
     _packs: dict = {}
 
     def _packed(dt):
+        # The cache holds NUMPY arrays and converts at USE time: this
+        # function may first run inside a jax trace (lax.map / jit /
+        # while_loop body), where anything jnp-built — even
+        # ``jnp.asarray`` of a host constant — is a tracer that must not
+        # outlive its trace (measured leak: pcg body -> lax.map reuse).
         key = jnp.dtype(dt).name
         if key not in _packs:
-            _packs[key] = (
-                _pack_rows(jnp.asarray(X0s), n0p, dt),
-                _pack_lanes(jnp.asarray(X1s), n1p, dt),
-            )
-        return _packs[key]
+            dnp = np.dtype(key)
+            a0 = np.zeros((d, n0p, 128), dnp)
+            a0[:, :n0, 0] = X0s.T
+            a1 = np.zeros((d, 8, n1p), dnp)
+            a1[:, 0, :n1] = X1s.T
+            _packs[key] = (a0, a1)
+        a0, a1 = _packs[key]
+        return jnp.asarray(a0), jnp.asarray(a1)
 
     def matvec(v):
         v = jnp.asarray(v)

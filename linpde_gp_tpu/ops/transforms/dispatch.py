@@ -171,6 +171,28 @@ def apply_operator_to_function(op: LinearFunctionOperator, f: Function) -> Funct
 def apply_operator_to_kernel(
     op: LinearFunctionOperator, kernel: CovarianceFunction, *, argnum: int
 ) -> CovarianceFunction:
+    r"""Apply a linear operator to one argument of a covariance function,
+    returning the transformed kernel (``L k`` for ``argnum=0``,
+    ``k L*`` for ``argnum=1``) — the rule-engine entry point behind GP
+    conditioning on operator observations (reference:
+    ``covfuncs/linfuncops/_registry.py`` dispatch).
+
+    Closed forms are produced for the whole ExpQuad/Matérn/TensorProduct
+    family against polynomial-coefficient differential operators; the
+    general fallback differentiates through the kernel with ``jax``
+    autodiff.
+
+    Examples
+    --------
+    >>> import jax.numpy as jnp
+    >>> from linpde_gp_tpu.ops import diffops
+    >>> from linpde_gp_tpu.ops.kernels import Matern, TensorProduct
+    >>> kt = TensorProduct(Matern((), nu=1.5), Matern((), nu=2.5))
+    >>> H = diffops.HeatOperator((2,), alpha=1.0)  # d/dt - alpha * Laplace
+    >>> k_h = apply_operator_to_kernel(H, kt, argnum=1)
+    >>> round(float(k_h(jnp.zeros(2), jnp.ones(2))), 6)
+    -0.429992
+    """
     assert argnum in (0, 1)
     if isinstance(op, Identity):
         return kernel

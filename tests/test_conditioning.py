@@ -221,6 +221,44 @@ def test_iterative_gram_free_regressor_matches_dense():
     )
 
 
+def test_iterative_regressor_anchored_matches_dense_joint():
+    """Anchored gram-free conditioning (block Schur elimination of a
+    small evaluation batch against the large streaming operator batch)
+    equals the dense multi-batch engine — the mixed IC/BC + PDE setup of
+    the reference's heat experiment (``0002_heat_1d.ipynb``) at
+    gram-free scale."""
+    from linpde_gp_tpu.models.iterative import IterativeGPRegressor
+    from linpde_gp_tpu.ops import diffops as dops
+
+    prior = lgt.GaussianProcess(
+        lgt.functions.Zero(()),
+        2.0**2 * lgt.kernels.Matern((), nu=2.5, lengthscales=1.0),
+    )
+    D = -1.0 * dops.Laplacian(())
+    X = np.linspace(-0.95, 0.95, 120)  # PDE collocation (interior)
+    Y = np.full(120, 2.0)
+    X_b = np.asarray([-1.0, 1.0])  # boundary anchors
+    Y_b = np.asarray([0.0, 1.0])
+    noise, bnoise = 1e-8, 1e-10
+
+    it = IterativeGPRegressor(
+        prior, X, Y, L=D, noise_variance=noise, tol=1e-12, maxiter=4000,
+        anchor_X=X_b, anchor_Y=Y_b, anchor_noise=bnoise,
+    )
+    dense = prior.condition_on_observations(
+        Y_b, X=X_b, b=lgt.Normal(np.zeros(2), bnoise * np.eye(2))
+    ).condition_on_observations(
+        Y, X=X, L=D, b=lgt.Normal(np.zeros(120), noise * np.eye(120))
+    )
+    xq = np.linspace(-1, 1, 17)
+    np.testing.assert_allclose(
+        np.asarray(it.mean(xq)), np.asarray(dense.mean(xq)), atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(it.var(xq)), np.asarray(dense.var(xq)), atol=1e-8
+    )
+
+
 def test_log_marginal_likelihood_vs_scipy():
     import scipy.stats
 

@@ -452,6 +452,51 @@ def test_distributed_iterative_matches_single_device():
     np.testing.assert_allclose(v_d, v_s, rtol=0, atol=1e-8)
 
 
+def test_distributed_iterative_banded_wendland():
+    """Compact-support routing on the mesh (VERDICT r3 item 6): the
+    distributed regressor internally sorts points and runs the banded
+    Pallas schedule per device; results must match the single-device
+    path in the CALLER's point order."""
+    from linpde_gp_tpu.models.iterative import IterativeGPRegressor
+    from linpde_gp_tpu.ops.kernels.wendland import WendlandCovarianceFunction
+    from linpde_gp_tpu.parallel import DistributedIterativeGPRegressor
+
+    mesh = make_mesh(8)
+    prior = lgt.GaussianProcess(
+        lgt.functions.Zero(()),
+        2.0 * WendlandCovarianceFunction((), k=2, lengthscales=0.15),
+    )
+    rng_l = np.random.default_rng(29)
+    n = 600  # NOT a multiple of 8; unsorted input order
+    X = rng_l.uniform(0.0, 1.0, n)
+    Y = np.sin(7 * X)
+    kw = dict(noise_variance=1e-6, tol=1e-11, maxiter=3000, precond_rank=64)
+    prev_tile = lgt.config.matvec_tile
+    lgt.config.set(matvec_tile=64)  # make the band non-trivial at n=600
+    try:
+        single = IterativeGPRegressor(prior, X, Y, **kw)
+        dist = DistributedIterativeGPRegressor(prior, X, Y, mesh=mesh, **kw)
+        assert dist._band_info() is not None, "banded schedule not engaged"
+        w_s = np.asarray(single.representer_weights)
+        w_d = np.asarray(dist.representer_weights)
+        np.testing.assert_allclose(
+            w_d, w_s, rtol=0, atol=1e-6 * np.abs(w_s).max()
+        )
+        xq = np.linspace(0.0, 1.0, 41)
+        np.testing.assert_allclose(
+            np.asarray(dist.mean(jnp.asarray(xq))),
+            np.asarray(single.mean(jnp.asarray(xq))),
+            rtol=0, atol=1e-8,
+        )
+        np.testing.assert_allclose(
+            np.asarray(dist.var(jnp.asarray(xq), block_size=16)),
+            np.asarray(single.var(jnp.asarray(xq))),
+            rtol=0, atol=1e-8,
+        )
+    finally:
+        lgt.config.set(matvec_tile=prev_tile)
+
+
 def test_distributed_iterative_no_preconditioner():
     from linpde_gp_tpu.models.iterative import IterativeGPRegressor
     from linpde_gp_tpu.parallel import DistributedIterativeGPRegressor

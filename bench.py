@@ -377,7 +377,11 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"heat_LkL_pcg_condition_n{n}",
+                # Mode is part of the metric: "ff" = compensated
+                # float-float evaluation at noise 1e-3 (precision-parity
+                # conditioning); "plain" = plain-f32 at the 10%-noise
+                # f32 floor (throughput mode, round-2 configuration).
+                "metric": f"heat_LkL_pcg_condition_n{n}_{mode}",
                 "value": round(value, 6),
                 "unit": "s",
                 "vs_baseline": round(baseline / value, 3),

@@ -200,9 +200,40 @@ class NystromPreconditioner(NamedTuple):
         hi = jax.lax.Precision.HIGHEST
         vector = r.ndim == 1
         rr = r[:, None] if vector else r
-        br = jnp.matmul(B.T, rr, precision=hi)
-        w = jax.scipy.linalg.cho_solve((chol_C, True), br)
-        out = (rr - jnp.matmul(B, w, precision=hi)) / delta
+        n, m = B.shape
+        chunk = 16384
+        if n > chunk:
+            # Chunked apply (same reason as the chunked build above):
+            # (n, m) GEMVs at n=1e5 / m=4096 overwhelm this rig's remote
+            # XLA compile service; per-chunk products are the sizes that
+            # compile fine.  Zero pad rows pass through untouched.
+            nc = -(-n // chunk)
+            pad = nc * chunk - n
+            Bp = jnp.concatenate([B, jnp.zeros((pad, m), B.dtype)]) if pad else B
+            rp = (
+                jnp.concatenate([rr, jnp.zeros((pad, rr.shape[1]), rr.dtype)])
+                if pad
+                else rr
+            )
+            Bc = Bp.reshape(nc, chunk, m)
+            rc = rp.reshape(nc, chunk, rr.shape[1])
+            br = jax.lax.scan(
+                lambda acc, xs: (
+                    acc + jnp.matmul(xs[0].T, xs[1], precision=hi),
+                    None,
+                ),
+                jnp.zeros((m, rr.shape[1]), rr.dtype),
+                (Bc, rc),
+            )[0]
+            w = jax.scipy.linalg.cho_solve((chol_C, True), br)
+            bw = jax.lax.map(
+                lambda b: jnp.matmul(b, w, precision=hi), Bc
+            ).reshape(nc * chunk, rr.shape[1])[:n]
+            out = (rr - bw) / delta
+        else:
+            br = jnp.matmul(B.T, rr, precision=hi)
+            w = jax.scipy.linalg.cho_solve((chol_C, True), br)
+            out = (rr - jnp.matmul(B, w, precision=hi)) / delta
         return out[:, 0] if vector else out
 
 
@@ -225,8 +256,34 @@ def _nystrom_factors(K_XZ: jnp.ndarray, K_ZZ: jnp.ndarray, sigma_sq):
     L_inv = jax.scipy.linalg.solve_triangular(
         L, jnp.eye(m, dtype=L.dtype), lower=True
     )
-    B = jnp.matmul(K_XZ, L_inv.T, precision=hi)
-    C0 = jnp.matmul(B.T, B, precision=hi)  # BᵀB: eigenvalues of BBᵀ
+    n = K_XZ.shape[0]
+    chunk = 16384
+    if n > chunk:
+        # CHUNKED build (lax.scan): the monolithic (n, m) GEMMs at
+        # n=1e5 / m=4096 crash this rig's remote XLA compile service
+        # ("response body closed", measured round 4 — the root cause of
+        # the round-3 missing bench number); per-chunk GEMMs are the
+        # exact sizes that compile fine.  Zero pad rows contribute
+        # nothing to C0 and are sliced off B.
+        nc = -(-n // chunk)
+        pad = nc * chunk - n
+        Kp = (
+            jnp.concatenate([K_XZ, jnp.zeros((pad, m), K_XZ.dtype)])
+            if pad
+            else K_XZ
+        )
+
+        def step(C, blk):
+            b = jnp.matmul(blk, L_inv.T, precision=hi)
+            return C + jnp.matmul(b.T, b, precision=hi), b
+
+        C0, Bc = jax.lax.scan(
+            step, jnp.zeros((m, m), K_XZ.dtype), Kp.reshape(nc, chunk, m)
+        )
+        B = Bc.reshape(nc * chunk, m)[:n]
+    else:
+        B = jnp.matmul(K_XZ, L_inv.T, precision=hi)
+        C0 = jnp.matmul(B.T, B, precision=hi)  # BᵀB: eigenvalues of BBᵀ
     C0 = 0.5 * (C0 + C0.T)
     # λ_m (smallest Nyström eigenvalue) — eigenVALUES only; clamp the
     # round-off tail to eps-relative of the largest.

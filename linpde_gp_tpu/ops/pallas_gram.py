@@ -556,7 +556,15 @@ def gram_matvec(spec, X0, X1, v, *, compensated: bool | None = None) -> jnp.ndar
     Pallas lazy reduction on TPU, the native C++/OpenMP engine on the
     host CPU (above the same size threshold that gates Gram assembly —
     small problems stay in XLA, avoiding per-call host callbacks),
-    dense XLA broadcast otherwise."""
+    dense XLA broadcast otherwise.
+
+    Compact-support (Wendland) kernels: this router accepts TRACED point
+    arrays, so it cannot sort points or build the static band schedule —
+    callers holding CONCRETE points should use :func:`make_banded_matvec`
+    (factory) instead for O(n·band) work; both regressor engines
+    (``models/iterative.py``, ``parallel/iterative.py``) consult
+    :func:`compact_support_radius` and auto-route the banded schedule.
+    """
     scale, terms = spec
     backend = jax.default_backend()
     n0 = int(np.prod(jnp.shape(X0)[:1], dtype=np.int64))

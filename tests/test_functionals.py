@@ -148,25 +148,34 @@ def test_exact_matern_integral_vs_quadrature(nu):
     crosscov_fn, gram = hook
     xs = rng.uniform(-1.5, 1.5, 7)  # includes points outside the domain
     exact = np.asarray(crosscov_fn(jnp.asarray(xs)))
-    quad = np.asarray(
-        [
-            scipy.integrate.quad(
-                lambda t, x=x: float(k(jnp.asarray(x), jnp.asarray(t))),
-                -0.7,
-                1.1,
-            )[0]
-            for x in xs
-        ]
-    )
-    np.testing.assert_allclose(exact, quad, atol=1e-10)
+    # Vectorized kink-split Gauss-Legendre oracle (adaptive scipy.quad
+    # over scalar jnp evaluations costs ~100 device calls per node —
+    # this is machine-precision and two batched kernel evaluations).
+    a, b = -0.7, 1.1
+    gl_x, gl_w = np.polynomial.legendre.leggauss(96)
 
-    dbl = scipy.integrate.dblquad(
-        lambda s, t: float(k(jnp.asarray(s), jnp.asarray(t))),
-        -0.7,
-        1.1,
-        -0.7,
-        1.1,
-    )[0]
+    def gl_interval(lo, hi):
+        return 0.5 * (hi - lo) * gl_x + 0.5 * (hi + lo), 0.5 * (hi - lo) * gl_w
+
+    quad = []
+    for x in xs:
+        s = min(max(x, a), b)  # split at the |x - t| kink (if inside)
+        total = 0.0
+        for lo, hi in ((a, s), (s, b)):
+            if hi > lo:
+                t, wt = gl_interval(lo, hi)
+                vals = np.asarray(k(jnp.full_like(jnp.asarray(t), x), jnp.asarray(t)))
+                total += float(wt @ vals)
+        quad.append(total)
+    np.testing.assert_allclose(exact, np.asarray(quad), atol=1e-10)
+
+    # Double integral via the stationarity identity
+    #   ∫∫_[a,b]² f(|s-t|) ds dt = 2 ∫_0^L (L-u) f(u) du,   L = b-a
+    # (smooth on (0, L]; kink only at the endpoint u=0 — GL handles it).
+    L_len = b - a
+    u, wu = gl_interval(0.0, L_len)
+    fu = np.asarray(k(jnp.zeros_like(jnp.asarray(u)), jnp.asarray(u)))
+    dbl = float(2.0 * (wu * (L_len - u)) @ fu)
     np.testing.assert_allclose(gram, dbl, rtol=1e-8)
 
     # The engine routes through the exact path (crosscov + gram).

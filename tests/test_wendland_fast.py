@@ -233,7 +233,7 @@ def test_iterative_regressor_routes_banded():
         lgt.kernels.WendlandCovarianceFunction((), k=1, lengthscales=0.5),
     )
     reg = IterativeGPRegressor(
-        prior, X, Y, noise_variance=1e-3, tol=1e-8, maxiter=1200,
+        prior, X, Y, noise_variance=1e-3, tol=1e-8, maxiter=600,
         precond_rank=128,
     )
     assert reg._banded is not None, "banded matvec not routed"

@@ -146,6 +146,10 @@ def main():
             tol=tol, maxiter=maxiter,
             precond_rank=min(rank, n_pde // 4),
             compensated=compensated,
+            # Host-driven CG on TPU (pcg_host): the fused while_loop body
+            # at n=1e5 aborts the rig's remote compile service; the split
+            # per-iteration programs compile fine (measured round 4).
+            host_cg=bool(int(os.environ.get("LS_HOST_CG", 1))) and on_tpu,
             anchor_X=X_anchor, anchor_Y=Y_anchor, anchor_noise=anchor_noise,
         )
         w = np.asarray(reg.representer_weights[:4])

@@ -97,6 +97,19 @@ class _Config:
     #: float64 Gram in refinement mode.
     refine_factor_jitter: float = 1e-6
 
+    #: Host-orchestrated CG (``ops/linalg/pcg.pcg_host``): drive the CG
+    #: iteration from the host, calling SEPARATELY jitted device programs
+    #: for the Gram matvec and the preconditioner apply, with the O(N)
+    #: vector arithmetic in host float64.  Two reasons to turn it on:
+    #: (1) rigs whose remote XLA compile service cannot build the fused
+    #: while_loop program (matvec + rank-m Nystrom apply in ONE program
+    #: at N=1e5/m=4096 aborts the service; each piece alone compiles
+    #: fine — measured, CLAUDE.md), and (2) float64 CG vector arithmetic
+    #: on float32-only backends for free.  Costs ~2 dispatch floors
+    #: (~80 ms on this tunnel) per iteration — noise against a >1 s
+    #: streaming matvec at N=1e5.
+    host_cg: bool = False
+
     @property
     def default_dtype(self) -> jnp.dtype:
         return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32

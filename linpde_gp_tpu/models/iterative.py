@@ -20,7 +20,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.linalg.pcg import landmark_indices, nystrom_preconditioner, pcg, pcg_block
+from ..ops.linalg.pcg import (
+    landmark_indices,
+    nystrom_preconditioner,
+    pcg,
+    pcg_block,
+    pcg_host,
+)
 from ..ops.pallas_gram import (
     compact_support_radius,
     gram_matrix,
@@ -83,6 +89,7 @@ class IterativeGPRegressor:
         maxiter: int = 512,
         precond_rank: int | str = "auto",
         compensated: bool | None = None,
+        host_cg: bool | None = None,
         anchor_X=None,
         anchor_Y=None,
         anchor_noise: float = 1e-8,
@@ -116,6 +123,13 @@ class IterativeGPRegressor:
         self.compensated = (
             _config.gram_compensated if compensated is None else bool(compensated)
         )
+        # Host-orchestrated CG (config.host_cg): the weights solve calls
+        # separately jitted matvec / preconditioner-apply programs from a
+        # host loop instead of one fused lax.while_loop program — required
+        # on rigs whose remote compile service cannot build the fused body
+        # at north-star sizes, and upgrades CG vector arithmetic to host
+        # float64 on f32-only backends (see ops/linalg/pcg.pcg_host).
+        self.host_cg = _config.host_cg if host_cg is None else bool(host_cg)
 
         k = prior.cov
         if L is not None:
@@ -242,15 +256,25 @@ class IterativeGPRegressor:
         return out
 
     def _solve(self, rhs: jnp.ndarray) -> jnp.ndarray:
-        res = pcg(
-            self._schur_matvec,
-            rhs,
-            M=self._preconditioner(),
-            tol=self.tol,
-            maxiter=self.maxiter,
-        )
+        M = self._preconditioner()
+        if self.host_cg:
+            matvec_j = jax.jit(self._schur_matvec)
+            # NamedTuple instances cannot be weakref'd by jit's cache —
+            # wrap the preconditioner apply in a plain function.
+            M_j = jax.jit(lambda r: M(r)) if M is not None else None
+            res = pcg_host(
+                matvec_j, np.asarray(rhs), M=M_j, tol=self.tol,
+                maxiter=self.maxiter,
+            )
+            x = jnp.asarray(res.x, dtype=rhs.dtype)
+        else:
+            res = pcg(
+                self._schur_matvec, rhs, M=M, tol=self.tol,
+                maxiter=self.maxiter,
+            )
+            x = res.x
         self._solve_info = (int(res.iterations), float(res.relative_residual))
-        return res.x
+        return x
 
     @property
     def solve_info(self):

@@ -102,6 +102,74 @@ def pcg(
     return PCGResult(x, k, relres)
 
 
+def pcg_host(
+    matvec: Callable,
+    b,
+    *,
+    M: Callable | None = None,
+    tol: float = 1e-6,
+    maxiter: int = 512,
+) -> PCGResult:
+    """Host-orchestrated preconditioned CG (same method as :func:`pcg`:
+    flexible Polak–Ribière, beta clamped at 0).
+
+    ``matvec`` and ``M`` are called once per iteration as ordinary
+    Python callables — typically separately ``jax.jit``-ed device
+    programs — while the O(n) vector arithmetic runs on the host in
+    numpy float64.  Compared to the ``lax.while_loop`` of :func:`pcg`
+    this splits the iteration body into SEPARATE device programs: on
+    this rig the remote XLA compile service aborts on the fused body at
+    north-star sizes (streaming Pallas matvec + rank-4096 Nyström apply
+    in one program; each piece alone compiles fine — measured round 4),
+    and host-f64 vectors remove the f32 CG-arithmetic floor on backends
+    without x64.  Per-iteration overhead is two dispatch floors plus two
+    O(n) host↔device copies (~100 ms on the tunnel) — noise against a
+    >1 s streaming matvec at N=1e5.
+
+    Examples
+    --------
+    >>> import numpy as np
+    >>> d = np.asarray([1.0, 2.0, 3.0])
+    >>> res = pcg_host(lambda v: d * v, np.ones(3), tol=1e-12)
+    >>> int(res.iterations)
+    3
+    >>> np.round(np.asarray(res.x), 6)
+    array([1.      , 0.5     , 0.333333])
+    """
+    import numpy as np
+
+    if M is None:
+        M = lambda r: r  # noqa: E731
+
+    def dev(fn, v):
+        return np.asarray(fn(v), dtype=np.float64)
+
+    b = np.asarray(b, dtype=np.float64)
+    x = np.zeros_like(b)
+    r = b.copy()
+    z = dev(M, r)
+    p = z
+    rz = float(r @ z)
+    b_norm = float(np.linalg.norm(b))
+    threshold = tol * (b_norm if b_norm > 0 else 1.0)
+
+    k = 0
+    while float(np.linalg.norm(r)) > threshold and k < maxiter:
+        Ap = dev(matvec, p)
+        alpha = rz / float(p @ Ap)
+        x = x + alpha * p
+        r_new = r - alpha * Ap
+        z = dev(M, r_new)
+        rz_new = float(r_new @ z)
+        beta = max((rz_new - float(z @ r)) / rz, 0.0)
+        p = z + beta * p
+        r, rz = r_new, rz_new
+        k += 1
+
+    relres = float(np.linalg.norm(r)) / (b_norm if b_norm > 0 else 1.0)
+    return PCGResult(x, np.asarray(k), np.asarray(relres))
+
+
 def pcg_block(
     matvec: Callable,
     B: jnp.ndarray,

@@ -1,6 +1,7 @@
 """Structured-linalg unit tests (reference test pattern §4.4:
 ``linops/test_block.py``, ``test_symmetric_block.py``)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -172,6 +173,77 @@ def test_pcg_zero_rhs():
     res = pcg(lambda v: A @ v, jnp.zeros(5), tol=1e-10, maxiter=10)
     np.testing.assert_allclose(np.asarray(res.x), np.zeros(5))
     assert int(res.iterations) == 0
+
+
+def test_pcg_host_matches_device_pcg():
+    """Host-orchestrated CG (split per-iteration device programs; see
+    pcg_host) must agree with the fused while_loop pcg — solution,
+    iteration count, and residual — including under a Nyström
+    preconditioner."""
+    from linpde_gp_tpu.ops.linalg.pcg import (
+        landmark_indices,
+        nystrom_preconditioner,
+        pcg,
+        pcg_host,
+    )
+
+    import linpde_gp_tpu as lgt
+
+    rng_ = np.random.default_rng(5)
+    n, sigma_sq = 200, 1e-4
+    X = np.sort(rng_.uniform(-1, 1, n))
+    k = lgt.kernels.Matern((), nu=2.5, lengthscales=0.5)
+    K = np.asarray(k(jnp.asarray(X)[:, None], jnp.asarray(X)[None, :]))
+    A = jnp.asarray(K + sigma_sq * np.eye(n))
+    b = np.sin(3 * X)
+    idx = np.asarray(landmark_indices(n, 50))
+    Z = jnp.asarray(X[idx])
+    M = nystrom_preconditioner(
+        k(Z[:, None], jnp.asarray(X)[None, :]).T, k(Z[:, None], Z[None, :]), sigma_sq
+    )
+
+    matvec_j = jax.jit(lambda v: A @ v)
+    M_j = jax.jit(lambda r: M(r))
+    dev = pcg(matvec_j, jnp.asarray(b), M=M, tol=1e-10, maxiter=500)
+    host = pcg_host(matvec_j, b, M=M_j, tol=1e-10, maxiter=500)
+
+    expected = np.linalg.solve(np.asarray(A), b)
+    np.testing.assert_allclose(np.asarray(host.x), expected, atol=1e-7)
+    assert int(host.iterations) == int(dev.iterations)
+    np.testing.assert_allclose(
+        float(host.relative_residual), float(dev.relative_residual),
+        rtol=1e-3, atol=1e-12,
+    )
+
+
+def test_iterative_regressor_host_cg_matches_device():
+    """IterativeGPRegressor(host_cg=True) — the north-star TPU path on
+    this rig — must reproduce the default while_loop solve exactly."""
+    import linpde_gp_tpu as lgt
+    from linpde_gp_tpu.models.iterative import IterativeGPRegressor
+    from linpde_gp_tpu.ops import diffops
+
+    rng_ = np.random.default_rng(9)
+    n = 256
+    X = np.sort(rng_.uniform(-1, 1, n))
+    Y = np.sin(3 * X)
+    prior = lgt.GaussianProcess(
+        lgt.functions.Zero(()), lgt.kernels.Matern((), nu=2.5, lengthscales=0.7)
+    )
+    D = -1.0 * diffops.Laplacian(())
+    kw = dict(L=D, noise_variance=1e-6, tol=1e-10, maxiter=800, precond_rank=64)
+    dev = IterativeGPRegressor(prior, X, Y, host_cg=False, **kw)
+    host = IterativeGPRegressor(prior, X, Y, host_cg=True, **kw)
+    xq = jnp.asarray(np.linspace(-1, 1, 33))
+    np.testing.assert_allclose(
+        np.asarray(host.representer_weights),
+        np.asarray(dev.representer_weights),
+        atol=1e-8,
+    )
+    np.testing.assert_allclose(
+        np.asarray(host.mean(xq)), np.asarray(dev.mean(xq)), atol=1e-8
+    )
+    assert host.solve_info[0] == dev.solve_info[0]
 
 
 def test_nystrom_preconditioner_cuts_iterations():

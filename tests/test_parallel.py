@@ -46,7 +46,7 @@ def test_distributed_cholesky_matches_dense():
     # 4-device submesh, 4 unrolled steps: the 8-device/16-step depth is
     # covered by the slow tier + dryrun; this is the fast default gate.
     mesh = make_mesh(4)
-    n, nb = 64, 16
+    n, nb = 64, 16  # P*nb must divide n: 4 blocks is the 4-device minimum
     A = rng.standard_normal((n, n))
     K = A @ A.T + n * np.eye(n)
     L = distributed_cholesky(jnp.asarray(K), mesh=mesh, block_size=nb)
@@ -91,19 +91,18 @@ def test_end_to_end_sharded_poisson():
     # kernel Gram so both paths are well-posed and comparable.
     noise = 1e-4
     G = sharded_gram(k_dd, X_pde, mesh=mesh) + noise * jnp.eye(n)
-    L = distributed_cholesky(G, mesh=mesh, block_size=16)
-    w = distributed_chol_solve(L, jnp.asarray(Y_pde), mesh=mesh, block_size=16)
+    L = distributed_cholesky(G, mesh=mesh, block_size=32)
+    w = distributed_chol_solve(L, jnp.asarray(Y_pde), mesh=mesh, block_size=32)
     dense_gram = k_dd.matrix(jnp.asarray(X_pde)) + noise * jnp.eye(n)
     w_ref = cho_solve(cholesky(dense_gram, jitter=0.0), jnp.asarray(Y_pde))
     np.testing.assert_allclose(np.asarray(w), np.asarray(w_ref), rtol=1e-5, atol=1e-7)
 
-    # Sharded posterior evaluation matches direct evaluation.
+    # Sharded posterior evaluation matches direct evaluation (one
+    # with_std program covers both outputs; a separate mean-only call
+    # would just compile a second near-identical shard_map program).
     xq = np.linspace(-1, 1, 53)
-    mean_sharded = sharded_posterior_eval(post, xq, mesh=mesh)
-    np.testing.assert_allclose(
-        np.asarray(mean_sharded), np.asarray(post.mean(xq)), atol=1e-10
-    )
     mean2, std2 = sharded_posterior_eval(post, xq, mesh=mesh, with_std=True)
+    np.testing.assert_allclose(np.asarray(mean2), np.asarray(post.mean(xq)), atol=1e-10)
     np.testing.assert_allclose(np.asarray(std2), np.asarray(post.std(xq)), atol=1e-10)
 
 
@@ -369,25 +368,22 @@ def test_distributed_cholesky_2d_masked_many_blocks():
     """Masked fori_loop 2-D body above the 128-block unroll cap
     (VERDICT r3 item 5: the north-star-size regime, e.g. N=1e5/nb=256 =
     391 block-columns, must route 2-D)."""
-    from linpde_gp_tpu.parallel import distributed_cholesky_2d
     from linpde_gp_tpu.parallel.solve import _factorize
 
     mesh = make_mesh(8)  # 2 x 4
     rng_l = np.random.default_rng(11)
-    nb = 4
-    n = nb * 8 * 17  # 544 -> 136 block-columns > 128
+    nb = 2
+    n = nb * 4 * 33  # 264 -> 132 block-columns > 128
     A = rng_l.standard_normal((n, n))
     A = A @ A.T + n * np.eye(n)
-    L = np.asarray(
-        distributed_cholesky_2d(jnp.asarray(A), mesh=mesh, block_size=nb, jitter=0.0)
-    )
-    np.testing.assert_allclose(L, np.linalg.cholesky(A), rtol=0, atol=1e-8)
-
-    # The auto-router must pick the 2-D layout above 128 block-columns
-    # (it used to fall back to the masked contiguous 1-D variant).
+    # One factorization through the AUTO-ROUTER (above 128 block-columns
+    # it must pick the masked fori_loop 2-D layout — it used to fall back
+    # to the contiguous 1-D variant) checked against the dense oracle;
+    # a second direct distributed_cholesky_2d call would only re-compile
+    # the same masked program.
     lgt.config.set(cholesky_jitter=0.0)
-    L2 = np.asarray(_factorize(jnp.asarray(A), mesh=mesh, block_size=nb))
-    np.testing.assert_allclose(L2, L, rtol=0, atol=1e-10)
+    L = np.asarray(_factorize(jnp.asarray(A), mesh=mesh, block_size=nb))
+    np.testing.assert_allclose(L, np.linalg.cholesky(A), rtol=0, atol=1e-8)
 
 
 def test_distributed_gram_matvec_matches_dense():

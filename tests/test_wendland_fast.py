@@ -225,28 +225,38 @@ def test_iterative_regressor_routes_banded():
     from linpde_gp_tpu.models.iterative import IterativeGPRegressor
 
     rng = np.random.default_rng(31)
-    n = 2048
-    X = np.sort(rng.uniform(0.0, 40.0, n))
+    # Small n: the CPU-interpret banded matvec is Python-per-tile slow;
+    # routing + correctness are size-independent (chip-scale numbers:
+    # experiments/wendland_banded_tpu.py).
+    n = 768
+    X = np.sort(rng.uniform(0.0, 15.0, n))
     Y = np.sin(X)
     prior = lgt.GaussianProcess(
         lgt.functions.Zero(()),
         lgt.kernels.WendlandCovarianceFunction((), k=1, lengthscales=0.5),
     )
-    reg = IterativeGPRegressor(
-        prior, X, Y, noise_variance=1e-3, tol=1e-8, maxiter=600,
-        precond_rank=128,
-    )
-    assert reg._banded is not None, "banded matvec not routed"
-    assert reg._banded.band_tiles < reg._banded.total_tiles
+    prev_tile = lgt.config.matvec_tile
+    lgt.config.set(matvec_tile=64)  # band granularity at this small n
+    try:
+        reg = IterativeGPRegressor(
+            prior, X, Y, noise_variance=1e-3, tol=1e-8, maxiter=600,
+            precond_rank=128,
+        )
+        assert reg._banded is not None, "banded matvec not routed"
+        assert reg._banded.band_tiles < reg._banded.total_tiles
 
-    w = np.asarray(reg.representer_weights)
-    # Dense oracle (CG tol 1e-8 leaves ~1e-6 relative weight error on
-    # this ill-conditioned compact-support Gram).
-    G = np.asarray(prior.cov.matrix(jnp.asarray(X))) + 1e-3 * np.eye(n)
-    w_ref = np.linalg.solve(G, Y)
-    np.testing.assert_allclose(w, w_ref, rtol=0, atol=1e-5 * np.abs(w_ref).max())
+        w = np.asarray(reg.representer_weights)
+        # Dense oracle (CG tol 1e-8 leaves ~1e-6 relative weight error on
+        # this ill-conditioned compact-support Gram).
+        G = np.asarray(prior.cov.matrix(jnp.asarray(X))) + 1e-3 * np.eye(n)
+        w_ref = np.linalg.solve(G, Y)
+        np.testing.assert_allclose(
+            w, w_ref, rtol=0, atol=1e-5 * np.abs(w_ref).max()
+        )
 
-    xq = np.linspace(0.0, 40.0, 64)
-    mean = np.asarray(reg.mean(jnp.asarray(xq)))
-    ref = np.asarray(prior.cov.matrix(jnp.asarray(xq), jnp.asarray(X))) @ w_ref
-    np.testing.assert_allclose(mean, ref, rtol=0, atol=1e-6)
+        xq = np.linspace(0.0, 15.0, 64)
+        mean = np.asarray(reg.mean(jnp.asarray(xq)))
+        ref = np.asarray(prior.cov.matrix(jnp.asarray(xq), jnp.asarray(X))) @ w_ref
+        np.testing.assert_allclose(mean, ref, rtol=0, atol=1e-6)
+    finally:
+        lgt.config.set(matvec_tile=prev_tile)

@@ -25,6 +25,7 @@ from ..ops.linalg.pcg import (
     nystrom_preconditioner,
     pcg,
     pcg_block,
+    pcg_block_host,
     pcg_host,
 )
 from ..ops.pallas_gram import (
@@ -345,6 +346,12 @@ class IterativeGPRegressor:
             [kxX, jnp.zeros((pad, kxX.shape[1]), kxX.dtype)], axis=0
         )
 
+        if self.host_cg:
+            return self._var_host(
+                xq, batch, rhs_all, kx1 if anchors is not None else None,
+                M, bs, nq,
+            )
+
         def schur_block(rhs_block):  # (bs, n) -> update (bs,)
             U2 = rhs_block.T  # (n, bs)
             S2 = pcg_block(
@@ -387,6 +394,52 @@ class IterativeGPRegressor:
             ).reshape(-1)[:nq]
         prior_var = self.prior.cov(xq)
         return jnp.maximum(prior_var - updates, 0.0).reshape(batch)
+
+    def _var_host(self, xq, batch, rhs_all, kx1, M, bs, nq) -> jnp.ndarray:
+        """Host-orchestrated variance sweep: pcg_block_host per query
+        block — same Schur elimination as the device path, but the CG
+        loop drives separately jitted matvec / preconditioner-apply
+        programs (the fused lax.map(pcg_block) program aborts this rig's
+        remote compile service at north-star sizes, like the weights
+        solve)."""
+        import scipy.linalg
+
+        matvec_j = jax.jit(self._schur_matvec)
+        M_j = jax.jit(lambda r: M(r)) if M is not None else None
+        rhs_np = np.asarray(rhs_all, np.float64)
+        anchors = self._anchors
+        if anchors is not None:
+            chol1 = np.asarray(anchors["chol1"], np.float64)
+            W = np.asarray(anchors["W"], np.float64)
+            kx1_np = np.concatenate(
+                [
+                    np.asarray(kx1, np.float64),
+                    np.zeros((rhs_np.shape[0] - nq, kx1.shape[1])),
+                ]
+            )
+        updates = []
+        for i in range(rhs_np.shape[0] // bs):
+            U2 = rhs_np[i * bs:(i + 1) * bs].T  # (n, bs)
+            if anchors is None:
+                S2 = pcg_block_host(
+                    matvec_j, U2, M=M_j, tol=self.tol, maxiter=self.maxiter
+                ).x
+                updates.append(np.sum(U2 * S2, axis=0))
+            else:
+                U1 = kx1_np[i * bs:(i + 1) * bs].T  # (n1, bs)
+                T1 = scipy.linalg.cho_solve((chol1, True), U1)
+                R2 = U2 - W @ T1
+                S2 = pcg_block_host(
+                    matvec_j, R2, M=M_j, tol=self.tol, maxiter=self.maxiter
+                ).x
+                Z1 = T1 - scipy.linalg.cho_solve((chol1, True), W.T @ S2)
+                updates.append(np.sum(U2 * S2, axis=0) + np.sum(U1 * Z1, axis=0))
+        updates = np.concatenate(updates)[:nq]
+        prior_var = np.asarray(self.prior.cov(xq), np.float64)
+        out = np.maximum(prior_var - updates, 0.0).reshape(batch)
+        from ..config import config as _config
+
+        return jnp.asarray(out, _config.default_dtype)
 
     def std(self, x, **kw) -> jnp.ndarray:
         return jnp.sqrt(self.var(x, **kw))

@@ -231,6 +231,68 @@ def pcg_block(
     return PCGResult(X, k, relres)
 
 
+def pcg_block_host(
+    matvec: Callable,
+    B,
+    *,
+    M: Callable | None = None,
+    tol: float = 1e-6,
+    maxiter: int = 512,
+) -> PCGResult:
+    """Host-orchestrated blocked multi-RHS PCG (the :func:`pcg_block`
+    method — per-column steps, frozen converged columns, flexible
+    Polak–Ribière — driven from the host like :func:`pcg_host`).
+
+    One ``matvec((n, r))`` device call per iteration serves all ``r``
+    right-hand sides; the O(n·r) vector arithmetic runs in host float64.
+    This is what makes gram-free posterior VARIANCE viable at north-star
+    sizes on this rig: the fused ``lax.while_loop`` body of
+    :func:`pcg_block` (streaming mat-mat + Nyström apply in one XLA
+    program) aborts the remote compile service exactly like the
+    single-RHS case.
+    """
+    import numpy as np
+
+    if M is None:
+        M = lambda r: r  # noqa: E731
+
+    def dev(fn, v):
+        return np.asarray(fn(v), dtype=np.float64)
+
+    B = np.asarray(B, dtype=np.float64)
+    X = np.zeros_like(B)
+    R = B.copy()
+    Z = dev(M, R)
+    P = Z
+    rz = np.sum(R * Z, axis=0)
+    b_norm = np.linalg.norm(B, axis=0)
+    threshold = tol * np.where(b_norm > 0, b_norm, 1.0)
+
+    k = 0
+    while np.any(np.linalg.norm(R, axis=0) > threshold) and k < maxiter:
+        active = np.linalg.norm(R, axis=0) > threshold
+        AP = dev(matvec, P)
+        pAp = np.sum(P * AP, axis=0)
+        alpha = np.where(active, rz / np.where(pAp != 0, pAp, 1.0), 0.0)
+        X = X + alpha[None, :] * P
+        R_new = R - alpha[None, :] * AP
+        Z = dev(M, R_new)
+        rz_new = np.sum(R_new * Z, axis=0)
+        pr = rz_new - np.sum(Z * R, axis=0)
+        beta = np.where(
+            active, np.maximum(pr / np.where(rz != 0, rz, 1.0), 0.0), 0.0
+        )
+        P = Z + beta[None, :] * P
+        R = R_new
+        rz = np.where(active, rz_new, rz)
+        k += 1
+
+    relres = float(
+        np.max(np.linalg.norm(R, axis=0) / np.where(b_norm > 0, b_norm, 1.0))
+    )
+    return PCGResult(X, np.asarray(k), np.asarray(relres))
+
+
 class NystromPreconditioner(NamedTuple):
     """Tail-damped Nyström preconditioner ``P = δ I + B Bᵀ`` with
     ``B = K_XZ L_ZZ^{-T}`` (so ``B Bᵀ`` is the rank-``m`` Nyström

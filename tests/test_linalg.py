@@ -244,6 +244,43 @@ def test_iterative_regressor_host_cg_matches_device():
         np.asarray(host.mean(xq)), np.asarray(dev.mean(xq)), atol=1e-8
     )
     assert host.solve_info[0] == dev.solve_info[0]
+    # Variance: host-orchestrated blocked multi-RHS CG (pcg_block_host)
+    # vs the fused lax.map(pcg_block) device path.
+    np.testing.assert_allclose(
+        np.asarray(host.var(xq, block_size=16)),
+        np.asarray(dev.var(xq, block_size=16)),
+        rtol=0, atol=1e-8,
+    )
+
+
+def test_iterative_regressor_host_cg_var_anchored():
+    """Anchored (block-Schur) variance through the host-CG path must
+    match the device path."""
+    import linpde_gp_tpu as lgt
+    from linpde_gp_tpu.models.iterative import IterativeGPRegressor
+    from linpde_gp_tpu.ops import diffops
+
+    rng_ = np.random.default_rng(17)
+    n = 192
+    X = np.sort(rng_.uniform(-1, 1, n))
+    Y = np.full(n, 2.0)
+    prior = lgt.GaussianProcess(
+        lgt.functions.Zero(()), lgt.kernels.Matern((), nu=2.5, lengthscales=0.8)
+    )
+    D = -1.0 * diffops.Laplacian(())
+    kw = dict(
+        L=D, noise_variance=1e-6, tol=1e-11, maxiter=1000, precond_rank=48,
+        anchor_X=np.asarray([-1.0, 1.0]), anchor_Y=np.asarray([0.0, 1.0]),
+        anchor_noise=1e-10,
+    )
+    dev = IterativeGPRegressor(prior, X, Y, host_cg=False, **kw)
+    host = IterativeGPRegressor(prior, X, Y, host_cg=True, **kw)
+    xq = jnp.asarray(np.linspace(-1, 1, 41))
+    np.testing.assert_allclose(
+        np.asarray(host.var(xq, block_size=16)),
+        np.asarray(dev.var(xq, block_size=16)),
+        rtol=0, atol=1e-8,
+    )
 
 
 def test_nystrom_preconditioner_cuts_iterations():

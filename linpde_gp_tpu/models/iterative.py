@@ -40,6 +40,16 @@ from .functions.base import Function, Zero
 from .gp import GaussianProcess
 
 
+@jax.jit
+def _apply_preconditioner(M, r):
+    """Preconditioner apply with ``M`` (a NamedTuple pytree) as a jit
+    ARGUMENT: closure-capturing it instead would bake the rank-m factor
+    (1.6 GB at N=1e5/m=4096) into the serialized XLA program as a
+    constant, which breaks this rig's remote compile service (measured
+    round 4: 'Broken pipe' after a ~25 min program upload)."""
+    return M(r)
+
+
 class IterativeGPRegressor:
     """Condition a scalar GP on one combined operator-observation set,
     gram-free.
@@ -256,13 +266,29 @@ class IterativeGPRegressor:
             out = out - a["W"] @ t
         return out
 
+    def _host_programs(self, M):
+        """``(matvec, M_apply)`` callables for the host-CG loop, backed
+        by jitted programs whose LARGE operands (anchor crosscov block,
+        Nyström factor) are passed as ARGUMENTS — closure-captured
+        arrays become constants embedded in the serialized XLA program,
+        and at north-star sizes that breaks the remote compile service
+        (see :func:`_apply_preconditioner`)."""
+        if self._anchors is not None:
+            a = self._anchors
+            base = jax.jit(
+                lambda W, chol1, v: self._gram_matvec(v)
+                - W @ jax.scipy.linalg.cho_solve((chol1, True), W.T @ v)
+            )
+            matvec = lambda v: base(a["W"], a["chol1"], v)  # noqa: E731
+        else:
+            matvec = jax.jit(self._gram_matvec)
+        M_apply = (lambda r: _apply_preconditioner(M, r)) if M is not None else None
+        return matvec, M_apply
+
     def _solve(self, rhs: jnp.ndarray) -> jnp.ndarray:
         M = self._preconditioner()
         if self.host_cg:
-            matvec_j = jax.jit(self._schur_matvec)
-            # NamedTuple instances cannot be weakref'd by jit's cache —
-            # wrap the preconditioner apply in a plain function.
-            M_j = jax.jit(lambda r: M(r)) if M is not None else None
+            matvec_j, M_j = self._host_programs(M)
             res = pcg_host(
                 matvec_j, np.asarray(rhs), M=M_j, tol=self.tol,
                 maxiter=self.maxiter,
@@ -404,8 +430,7 @@ class IterativeGPRegressor:
         solve)."""
         import scipy.linalg
 
-        matvec_j = jax.jit(self._schur_matvec)
-        M_j = jax.jit(lambda r: M(r)) if M is not None else None
+        matvec_j, M_j = self._host_programs(M)
         rhs_np = np.asarray(rhs_all, np.float64)
         anchors = self._anchors
         if anchors is not None:

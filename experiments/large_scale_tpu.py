@@ -153,7 +153,11 @@ def main():
             anchor_X=X_anchor, anchor_Y=Y_anchor, anchor_noise=anchor_noise,
         )
         w = np.asarray(reg.representer_weights[:4])
-        if np.all(np.isfinite(w)):
+        iters0, relres0 = reg.solve_info
+        # iters==0 with nan relres = NaN rhs (e.g. anchor-Cholesky
+        # breakdown upstream), which leaves w at a FINITE all-zero
+        # initial guess — catch it too.
+        if np.all(np.isfinite(w)) and np.isfinite(relres0) and iters0 > 0:
             break
         anchor_noise *= 10.0  # f32 anchor-Cholesky breakdown: escalate
         _log(f"non-finite weights; retrying with anchor_noise={anchor_noise:g}")

@@ -111,6 +111,9 @@ def main():
         prior, X, Y, noise_variance=1e-4 if on_tpu else 1e-8,
         tol=1e-5 if on_tpu else 1e-10, maxiter=512,
         precond_rank=1024 if on_tpu else 128,
+        # Escape hatch if the fused while_loop program trips the rig's
+        # remote compile service (see pcg_host / CLAUDE.md).
+        host_cg=bool(int(os.environ.get("WB_HOST_CG", 0))) and on_tpu,
     )
     _ = np.asarray(reg.representer_weights[:4])
     t_cond = time.perf_counter() - t0

@@ -215,13 +215,20 @@ class IterativeGPRegressor:
             k_Lk = (
                 apply_operator_to_kernel(L, k, argnum=0) if L is not None else k
             )
+            from ..ops.linalg.chol import cholesky as robust_cholesky
+
             A11_g = gram_matrix(k, X1, X1)
             A11 = A11_g + anchor_noise * jnp.eye(X1.shape[0], dtype=A11_g.dtype)
+            # Robust eager Cholesky (ops/linalg/chol.py): the TPU blocked
+            # f32 factorization NaNs outright near cond ~ 1/eps32 (a late
+            # pivot rounds negative — measured round 4 on a 192-anchor
+            # Gram that CPU LAPACK handles), and the escalating-jitter
+            # retry recovers it.
             self._anchors = dict(
                 X1=X1,
                 Y1=Y1,
                 k_Lk=k_Lk,
-                chol1=jnp.linalg.cholesky(A11),
+                chol1=robust_cholesky(A11, jitter=0.0),
                 W=gram_matrix(k_Lk, self.X, X1),  # (n, n1)
             )
 

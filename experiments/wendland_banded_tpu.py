@@ -107,13 +107,18 @@ def main():
     Y = np.sin(8.0 * X).astype(dtype)
     prior = lgt.GaussianProcess(lgt.functions.Zero(()), k)
     t0 = time.perf_counter()
+    # Compensated banded evaluation (and noise 1e-3): with ~12% of 1e5
+    # columns inside the band, the plain-f32 coherent error floor is
+    # ~3.3e-7 * 1.2e4 ≈ 4e-3 of k(0) — noise below it makes the
+    # computed operator indefinite and CG diverges (measured round 4:
+    # relres 1.8e9 at noise 1e-4 plain); the compensated floor is ~3e-6.
     reg = IterativeGPRegressor(
-        prior, X, Y, noise_variance=1e-4 if on_tpu else 1e-8,
+        prior, X, Y, noise_variance=1e-3 if on_tpu else 1e-8,
         tol=1e-5 if on_tpu else 1e-10, maxiter=512,
         precond_rank=1024 if on_tpu else 128,
-        # Escape hatch if the fused while_loop program trips the rig's
-        # remote compile service (see pcg_host / CLAUDE.md).
-        host_cg=bool(int(os.environ.get("WB_HOST_CG", 0))) and on_tpu,
+        compensated=bool(int(os.environ.get("WB_COMPENSATED", 1))) and on_tpu,
+        # Split per-iteration programs (see pcg_host / CLAUDE.md).
+        host_cg=bool(int(os.environ.get("WB_HOST_CG", 1))) and on_tpu,
     )
     _ = np.asarray(reg.representer_weights[:4])
     t_cond = time.perf_counter() - t0

@@ -216,6 +216,25 @@ def test_pcg_host_matches_device_pcg():
     )
 
 
+def test_pcg_block_host_matches_device_block():
+    """Host-orchestrated blocked multi-RHS CG must agree with the fused
+    pcg_block while_loop — solutions and iteration count."""
+    from linpde_gp_tpu.ops.linalg.pcg import pcg_block, pcg_block_host
+
+    rng_ = np.random.default_rng(13)
+    n, r = 120, 7
+    A0 = rng_.standard_normal((n, n))
+    A = jnp.asarray(A0 @ A0.T + n * np.eye(n))
+    B = rng_.standard_normal((n, r))
+    matvec_j = jax.jit(lambda V: A @ V)
+    dev = pcg_block(matvec_j, jnp.asarray(B), tol=1e-11, maxiter=400)
+    host = pcg_block_host(matvec_j, B, tol=1e-11, maxiter=400)
+    expected = np.linalg.solve(np.asarray(A), B)
+    np.testing.assert_allclose(np.asarray(host.x), expected, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(dev.x), expected, atol=1e-8)
+    assert int(host.iterations) == int(dev.iterations)
+
+
 def test_iterative_regressor_host_cg_matches_device():
     """IterativeGPRegressor(host_cg=True) — the north-star TPU path on
     this rig — must reproduce the default while_loop solve exactly."""

@@ -58,14 +58,18 @@ def _build_kernels():
 
 
 def _accelerator_run(k_hh, k_cross, X, Y, Xq, *, noise_rel, rank, tol, maxiter,
-                     compensated=False, host_cg=False):
+                     compensated=False, host_cg=False, hybrid=False):
     import jax
     import jax.numpy as jnp
 
     from linpde_gp_tpu.ops.linalg.pcg import (
+        NystromPreconditioner,
         landmark_indices,
+        make_pcg_ff_programs,
         nystrom_preconditioner,
+        nystrom_preconditioner_hybrid,
         pcg,
+        pcg_ff,
         pcg_host,
     )
     from linpde_gp_tpu.ops.pallas_gram import (
@@ -162,6 +166,44 @@ def _accelerator_run(k_hh, k_cross, X, Y, Xq, *, noise_rel, rank, tol, maxiter,
         )
         return res.x, res.iterations, res.relative_residual
 
+    # -- round-5 upgraded ff path (mode "ff"): host-factorized streamed
+    # Nystrom build + device-state float-float CG --------------------------
+    # The legacy all-device build's mandatory f32 K_ZZ stabilizer
+    # (eps32*trace*m ~ 2x the kernel diagonal at m=4096) ridge-truncates
+    # the preconditioner and was the root cause of the 326-iteration
+    # round-4 solve (see nystrom_preconditioner_hybrid); the hybrid build
+    # restores f64-quality factors and unlocks rank 8192+ (no K_XZ
+    # materialization).  pcg_ff keeps CG vectors on device as float-float
+    # pairs: ~2 dispatch floors and scalar-only host traffic per
+    # iteration vs pcg_host's 4 O(n) copies (VERDICT r4 items 1+3).
+    def block_fn(x0, x1):
+        out = pallas_gram(terms_obs, x0, x1, compensated=compensated)
+        return scale_obs * out if scale_obs != 1.0 else out
+
+    def ff_matvec(aux, v):
+        out = pallas_gram_matvec(terms_obs, aux, aux, v, compensated=compensated)
+        return scale_obs * out if scale_obs != 1.0 else out
+
+    def ff_precond(aux, r):
+        return NystromPreconditioner(*aux)(r)
+
+    _ff_programs = make_pcg_ff_programs(ff_matvec, ff_precond)
+
+    def condition_hybrid(x, y):
+        sigma_abs = float(noise_rel * diag)
+        M = nystrom_preconditioner_hybrid(
+            block_fn, x, jnp.asarray(np.asarray(x)[idx]), sigma_abs,
+            chunk=int(os.environ.get(
+                "BENCH_CHUNK", max(2048, min(16384, int(6e11 // max(len(idx), 1) ** 2)))
+            )),
+        )
+        res = pcg_ff(
+            ff_matvec, ff_precond, x, (M.B, M.chol_C, M.delta),
+            y.astype(lo_dtype), sigma_abs, tol=tol, maxiter=maxiter,
+            programs=_ff_programs,
+        )
+        return res.x, res.iterations, res.relative_residual
+
     @jax.jit
     def posterior_mean_update(xq, x, w):
         out = pallas_gram_matvec(terms_cross, xq, x, w)
@@ -172,26 +214,37 @@ def _accelerator_run(k_hh, k_cross, X, Y, Xq, *, noise_rel, rank, tol, maxiter,
     z_dev = jnp.asarray(X[idx])
     xq_dev = jnp.asarray(Xq)
 
-    _log(f"building Nystrom preconditioner (rank {len(idx)}) ...")
-    t0 = time.perf_counter()
-    B, chol_C, delta = build_precond(x_dev, z_dev)
-    _ = np.asarray(B[:2, :2])
-    _log(f"preconditioner built in {time.perf_counter() - t0:.1f} s "
-         f"(incl. compile)")
-
-    cond_fn = condition_host if host_cg else condition
-
-    def run_once():
-        # The preconditioner build is part of the timed conditioning
-        # (it is work the dense baseline does not have), re-executed
-        # from the warm cache each run.
+    if hybrid:
+        def run_once():
+            # Build + solve are both timed (the build is work the dense
+            # baseline does not have); the hybrid build re-runs its
+            # device programs from the warm cache and redoes the m x m
+            # host-f64 factorizations each run.
+            w, iters, relres = condition_hybrid(x_dev, y_dev)
+            wn = np.asarray(w[:8])
+            assert np.all(np.isfinite(wn)), "non-finite representer weights"
+            return jnp.asarray(w, lo_dtype), int(iters), float(relres)
+    else:
+        _log(f"building Nystrom preconditioner (rank {len(idx)}) ...")
+        t0 = time.perf_counter()
         B, chol_C, delta = build_precond(x_dev, z_dev)
-        w, iters, relres = cond_fn(x_dev, y_dev, B, chol_C, delta)
-        # Force a device->host readback: some PJRT transports complete
-        # block_until_ready at enqueue time.
-        wn = np.asarray(w[:8])
-        assert np.all(np.isfinite(wn)), "non-finite representer weights"
-        return jnp.asarray(w, lo_dtype), int(iters), float(relres)
+        _ = np.asarray(B[:2, :2])
+        _log(f"preconditioner built in {time.perf_counter() - t0:.1f} s "
+             f"(incl. compile)")
+
+        cond_fn = condition_host if host_cg else condition
+
+        def run_once():
+            # The preconditioner build is part of the timed conditioning
+            # (it is work the dense baseline does not have), re-executed
+            # from the warm cache each run.
+            B, chol_C, delta = build_precond(x_dev, z_dev)
+            w, iters, relres = cond_fn(x_dev, y_dev, B, chol_C, delta)
+            # Force a device->host readback: some PJRT transports complete
+            # block_until_ready at enqueue time.
+            wn = np.asarray(w[:8])
+            assert np.all(np.isfinite(wn)), "non-finite representer weights"
+            return jnp.asarray(w, lo_dtype), int(iters), float(relres)
 
     _log(f"compiling / warming condition() at n={n} (host_cg={host_cg}) ...")
     t0 = time.perf_counter()
@@ -307,24 +360,42 @@ def _mode_params(mode: str, n: int, on_tpu: bool) -> dict:
       per-entry error ~1e-13, so realistic noise 1e-3 conditions fine at
       the north-star n=1e5 (the plain-f32 coherent error floor would
       force 10% noise there; see PERFORMANCE.md).
+    - ``ffh``: the round-4 proven ff program (legacy all-device build,
+      rank 4096, host-orchestrated CG) — kept warm in the persistent
+      cache as the first fallback rung.
     - ``plain``: the round-2 known-good program — plain f32 streaming
       evaluation, noise ``max(3e-2, 3n/1e6)`` (the measured f32 noise
       floor), rank-1024 Nystrom.  Always kept as the fail-safe fallback
       so the driver captures a number even if the ff program regresses.
     """
     if mode == "ff":
+        # Round 5: hybrid (host-f64-factorized, streamed) Nystrom build
+        # + device-state float-float CG.  Rank 8192 is the predicted
+        # iteration sweet spot (lambda_8192/sigma^2 ~ 6 at n=1e5,
+        # experiments/precond_spectroscopy.py) and fits HBM because the
+        # streamed build never materializes K_XZ.
+        return dict(
+            compensated=on_tpu,
+            host_cg=False,
+            hybrid=True,
+            noise_rel=float(os.environ.get("BENCH_NOISE", 1e-3)),
+            rank=int(os.environ.get("BENCH_RANK", 8192 if on_tpu else 128)),
+        )
+    if mode == "ffh":
         return dict(
             compensated=on_tpu,
             # Host-driven CG on TPU: the fused while_loop body of this
             # mode kills the rig's remote compile service at n=1e5
             # (measured r4); the split per-iteration programs compile.
             host_cg=bool(int(os.environ.get("BENCH_HOST_CG", 1))) and on_tpu,
+            hybrid=False,
             noise_rel=float(os.environ.get("BENCH_NOISE", 1e-3)),
             rank=int(os.environ.get("BENCH_RANK", 4096 if on_tpu else 128)),
         )
     return dict(
         compensated=False,
         host_cg=False,
+        hybrid=False,
         noise_rel=float(os.environ.get("BENCH_NOISE", max(3e-2, 3.0 * n / 1e6))),
         rank=int(os.environ.get("BENCH_RANK", 1024 if on_tpu else 128)),
     )
@@ -351,7 +422,7 @@ def main():
     # (a device fault poisons this process's PJRT client).  Only when
     # every mode fails at N do we halve N.
     compensated = bool(int(os.environ.get("BENCH_COMPENSATED", 1)))
-    default_modes = "ff,plain" if (compensated and on_tpu) else "plain"
+    default_modes = "ff,ffh,plain" if (compensated and on_tpu) else "plain"
     modes = [m for m in os.environ.get("BENCH_MODES", default_modes).split(",") if m]
     mode = modes[0]
     params = _mode_params(mode, n, on_tpu)
@@ -385,7 +456,7 @@ def main():
             k_hh, k_cross, X, Y, Xq,
             noise_rel=noise_rel, rank=min(rank, n // 4),
             tol=tol, maxiter=maxiter, compensated=params["compensated"],
-            host_cg=params["host_cg"],
+            host_cg=params["host_cg"], hybrid=params["hybrid"],
         )
     except Exception as exc:  # noqa: BLE001
         _log(f"mode={mode} N={n} failed ({type(exc).__name__}: {exc})")

@@ -293,6 +293,207 @@ def pcg_block_host(
     return PCGResult(X, np.asarray(k), np.asarray(relres))
 
 
+# -- float-float CG scalar helpers ------------------------------------------
+#
+# The device-state CG below keeps its vectors as float-float (hi, lo)
+# pairs (ops/ff.py): f32 storage, ~eps32^2 accumulation accuracy — the
+# on-device replacement for pcg_host's host-float64 vector arithmetic
+# (round 4 measured pure-f32 CG vectors stalling at ~6e-4 relres).
+
+
+def ff_sub(x, y):
+    from ..ff import two_sum
+
+    s, e = two_sum(x[0], -y[0])
+    return s, e + (x[1] - y[1])
+
+
+def ff_div(a, b):
+    """ff scalar division, accurate to ~eps32^2 (one Newton correction)."""
+    from ..ff import quick_two_sum, two_prod
+
+    q1 = a[0] / b[0]
+    p, e = two_prod(q1, b[0])
+    rh, re = ff_sub(a, (p, e + q1 * b[1]))
+    q2 = (rh + re) / b[0]
+    return quick_two_sum(q1, q2)
+
+
+def ff_dot(x, y):
+    """Dot product of two ff vectors as an ff scalar.
+
+    Per-element products are error-free (two_prod); the reduction sums
+    the hi and lo streams separately through XLA's pairwise tree (~eps32
+    * log n relative on the positive-summand dots CG uses) and recombines
+    in ff.  Accuracy ~1e-7 relative — scalar (alpha/beta) perturbations
+    at that level are absorbed by the flexible (Polak-Ribiere) recurrence;
+    what needed the precision upgrade was the VECTOR state, which stays
+    in ff end-to-end."""
+    from ..ff import two_prod, two_sum
+
+    p, e = two_prod(x[0], y[0])
+    lo = e + (x[0] * y[1] + x[1] * y[0])
+    s, c = two_sum(jnp.sum(p), jnp.sum(lo))
+    return s, c
+
+
+def _ff_axpy(alpha_ff, x_ff, y_ff):
+    """y + alpha * x on ff vectors with an ff scalar alpha."""
+    from ..ff import ff_add, ff_mul
+
+    return ff_add(y_ff, ff_mul(x_ff, alpha_ff))
+
+
+def make_pcg_ff_programs(matvec, precond):
+    """Build the two fused per-iteration device programs of
+    :func:`pcg_ff`.
+
+    ``matvec(mv_aux, v)``: the UNSHIFTED Gram matvec (f32 in/out) — the
+    sigma^2 I shift is applied in ff inside the step program.
+    ``precond(pc_aux, r)``: preconditioner apply (f32 in/out); pass
+    ``None`` for the identity.
+
+    Two programs per iteration (not one fused loop body — that aborts
+    this rig's remote compile service at north-star sizes, and not the
+    2-dispatch + 4 O(n)-copy pcg_host pattern either):
+
+    - ``step_A``: matvec + pAp/alpha + x,r updates + ||r||^2 — the big
+      streaming program plus O(n) elementwise ff tail.
+    - ``step_B``: preconditioner apply + rz / Polak-Ribiere beta + p
+      update.
+
+    All CG state (x, r, p as ff pairs) and the rz scalar stay ON DEVICE;
+    the host reads only the lagged ||r||^2 scalar per iteration.
+    """
+
+    @jax.jit
+    def step_A(mv_aux, sigma_ff, x, p, r, rz):
+        Kp = matvec(mv_aux, p[0])
+        from ..ff import ff_add, ff_mul
+
+        z32 = jnp.zeros_like(Kp)
+        Ap = ff_add((Kp, z32), ff_mul(p, sigma_ff))
+        pAp = ff_dot(p, Ap)
+        alpha = ff_div(rz, pAp)
+        x_new = _ff_axpy(alpha, p, x)
+        r_new = _ff_axpy((-alpha[0], -alpha[1]), Ap, r)
+        rn2 = ff_dot(r_new, r_new)
+        return x_new, r_new, rn2[0]
+
+    @jax.jit
+    def step_B(pc_aux, r, r_old, p, rz_old):
+        if precond is None:
+            z = r[0]
+        else:
+            z = precond(pc_aux, r[0])
+        from ..ff import ff_add, ff_mul
+
+        zf = (z, jnp.zeros_like(z))
+        rz_new = ff_dot(r, zf)
+        zr_old = ff_dot(zf, r_old)
+        num = ff_sub(rz_new, zr_old)
+        beta = ff_div(num, rz_old)
+        # Clamp at 0 (= restart), as in pcg/pcg_host.
+        neg = beta[0] < 0
+        beta = (
+            jnp.where(neg, 0.0, beta[0]).astype(z.dtype),
+            jnp.where(neg, 0.0, beta[1]).astype(z.dtype),
+        )
+        p_new = ff_add(zf, ff_mul(p, beta))
+        return p_new, rz_new
+
+    return step_A, step_B
+
+
+def pcg_ff(
+    matvec,
+    precond,
+    mv_aux,
+    pc_aux,
+    b,
+    sigma_sq: float,
+    *,
+    tol: float = 1e-6,
+    maxiter: int = 512,
+    programs=None,
+) -> PCGResult:
+    """Device-state flexible PCG with float-float vectors (round 5).
+
+    Same method as :func:`pcg_host` (flexible Polak-Ribiere, clamp at 0)
+    but the O(n) state lives on the device as ff pairs and each iteration
+    is exactly two program dispatches with SCALAR-only host traffic — the
+    convergence check reads the previous iteration's ||r||^2 while the
+    current one is in flight (one-iteration lag hides the readback round
+    trip).  vs pcg_host this removes the four O(n) host<->device copies
+    and two of the ~4 round-trip floors per iteration (~0.18 s -> ~0.08 s
+    at N=1e5 on the tunnel; VERDICT r4 item 3).
+
+    ``matvec``/``precond`` are traceable functions (see
+    :func:`make_pcg_ff_programs`); ``mv_aux``/``pc_aux`` are their
+    operand pytrees, passed as jit ARGUMENTS (closure-captured arrays
+    become baked-in program constants, which breaks this rig's remote
+    compile service at scale — CLAUDE.md).
+
+    Examples
+    --------
+    >>> import numpy as np, jax.numpy as jnp
+    >>> d = jnp.asarray([1.0, 2.0, 3.0], jnp.float32)
+    >>> res = pcg_ff(lambda aux, v: aux * v - 0.5 * v, None, d, None,
+    ...              jnp.ones(3, jnp.float32), 0.5, tol=1e-12)
+    >>> int(res.iterations)  # 3 + convergence-check lag + f32 rounding
+    5
+    >>> np.round(np.asarray(res.x), 6)
+    array([1.      , 0.5     , 0.333333], dtype=float32)
+    """
+    import numpy as np
+
+    from ..ff import ff_const
+
+    step_A, step_B = programs if programs is not None else make_pcg_ff_programs(
+        matvec, precond
+    )
+
+    b = jnp.asarray(b)
+    dtype = b.dtype
+    zeros = jnp.zeros_like(b)
+    sigma_ff = tuple(
+        jnp.asarray(v, dtype) for v in ff_const(float(sigma_sq), dtype)
+    )
+    x = (zeros, zeros)
+    r = (b, zeros)
+    b_norm = float(np.linalg.norm(np.asarray(b, np.float64)))
+    threshold2 = (tol * (b_norm if b_norm > 0 else 1.0)) ** 2
+
+    p, rz = step_B(pc_aux, r, (zeros, zeros), (zeros, zeros),
+                   (jnp.ones((), dtype), jnp.zeros((), dtype)))
+
+    k = 0
+    rn2_prev = None
+    rn2_final = jnp.asarray(b_norm**2, dtype)
+    while k < maxiter:
+        r_old = r
+        x, r, rn2 = step_A(mv_aux, sigma_ff, x, p, r, rz)
+        p, rz = step_B(pc_aux, r, r_old, p, rz)
+        k += 1
+        # Lagged convergence check: decide on iteration k-1's residual
+        # while iteration k's programs are already enqueued.
+        if rn2_prev is not None:
+            val = float(np.asarray(rn2_prev))
+            if not np.isfinite(val):
+                rn2_final = rn2_prev
+                break
+            if val <= threshold2:
+                rn2_final = rn2_prev
+                break
+        rn2_prev = rn2
+        rn2_final = rn2
+    relres = float(np.sqrt(max(float(np.asarray(rn2_final)), 0.0))) / (
+        b_norm if b_norm > 0 else 1.0
+    )
+    x_out = x[0] + x[1]
+    return PCGResult(x_out, np.asarray(k), np.asarray(relres))
+
+
 class NystromPreconditioner(NamedTuple):
     """Tail-damped Nyström preconditioner ``P = δ I + B Bᵀ`` with
     ``B = K_XZ L_ZZ^{-T}`` (so ``B Bᵀ`` is the rank-``m`` Nyström
@@ -439,6 +640,143 @@ def nystrom_preconditioner(
         jnp.asarray(K_XZ), jnp.asarray(K_ZZ), sigma_sq
     )
     return NystromPreconditioner(B, chol_C, delta)
+
+
+def _host_lambda_min(C0_np, power_iters: int = 40):
+    """lambda_min of a PSD matrix on the host (f64): escalating-jitter
+    Cholesky + inverse power iteration.  Cheap (O(m^2) per iteration
+    after one O(m^3/3) factorization) — replaces the device ``eigvalsh``
+    of the legacy build, which at m >= 8192 is the expensive/fragile
+    part of the program on this rig."""
+    import numpy as np
+    import scipy.linalg
+
+    m = C0_np.shape[0]
+    scale = max(float(np.mean(np.diag(C0_np))), 1e-30)
+    L = None
+    for jit_rel in (0.0, 1e-14, 1e-12, 1e-10, 1e-8, 1e-6):
+        try:
+            L = np.linalg.cholesky(C0_np + (jit_rel * scale) * np.eye(m))
+            break
+        except np.linalg.LinAlgError:
+            continue
+    if L is None:
+        return float(np.finfo(np.float32).eps * scale)
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal(m)
+    v /= np.linalg.norm(v)
+    for _ in range(power_iters):
+        v = scipy.linalg.cho_solve((L, True), v)
+        v /= np.linalg.norm(v)
+    return float(v @ (C0_np @ v))
+
+
+def nystrom_preconditioner_hybrid(
+    block_fn,
+    X,
+    Z,
+    sigma_sq,
+    *,
+    chunk: int = 16384,
+    jitter_rel: float = 1e-10,
+) -> NystromPreconditioner:
+    """Build the tail-damped Nyström preconditioner with the m x m math
+    on the HOST in float64 and the O(n m^2) GEMMs streamed on device.
+
+    Round-5 fix for the north-star iteration count (VERDICT r4 item 1):
+    the legacy all-device build (:func:`_nystrom_factors`) must add
+    ``eps32 * trace(K_ZZ) * m`` jitter before the f32 ``K_ZZ`` Cholesky
+    (the TPU f32 factorization NaNs otherwise — CLAUDE.md), and at
+    m=4096 that stabilizer is ~2x the kernel DIAGONAL — a ridge that
+    truncates the preconditioner's effective rank to the few hundred
+    eigenvalues above ~k(0) and explains the measured 326 iterations at
+    N=1e5 (the f64 spectrum predicts ~100 for an exact rank-4096
+    build; experiments/precond_spectroscopy.py).  Factoring ``K_ZZ`` on
+    the host in float64 needs jitter ~1e-10 relative — 8 orders less —
+    and restores the spectral quality of the f64 build; the f32 rounding
+    of the pushed-back ``L^{-1}`` perturbs the approximant only
+    multiplicatively (~eps32), benign for a preconditioner.
+
+    The (n, m) factor ``B`` is built by a chunked ``lax.scan`` whose
+    chunks evaluate the kernel block on the fly (``block_fn``), so the
+    full ``K_XZ`` never exists — rank 8192-12288 fits the 16 GB chip
+    where the materialized build OOMed at 8192 (PERFORMANCE.md).
+
+    ``block_fn(x0, x1) -> (n0, n1)`` must be jit-traceable (e.g. a
+    compensated ``pallas_gram`` closure over the term specs).
+    """
+    import numpy as np
+
+    X = jnp.asarray(X)
+    Z = jnp.asarray(Z)
+    n, m = X.shape[0], Z.shape[0]
+    chunk = max(256, min(int(chunk), n))
+    dtype = X.dtype if jnp.issubdtype(X.dtype, jnp.floating) else jnp.float32
+
+    # 1) K_ZZ on device -> host f64, robust factorization, L^{-1} back.
+    K_ZZ = np.asarray(jax.jit(block_fn)(Z, Z), np.float64)
+    K_ZZ = 0.5 * (K_ZZ + K_ZZ.T)
+    import scipy.linalg
+
+    scale = float(np.mean(np.diag(K_ZZ)))
+    L = None
+    for jr in (jitter_rel, 1e-8, 1e-6, 1e-4):
+        try:
+            L = np.linalg.cholesky(K_ZZ + jr * scale * np.eye(m))
+            break
+        except np.linalg.LinAlgError:
+            continue
+    if L is None:
+        raise np.linalg.LinAlgError("K_ZZ not factorizable at jitter 1e-4")
+    L_inv_T = jnp.asarray(
+        scipy.linalg.solve_triangular(L, np.eye(m), lower=True).T, dtype
+    )
+
+    # 2) Streamed B / C0 build (device): chunked scan, kernel blocks
+    #    evaluated on the fly, pad-row contribution subtracted exactly.
+    nc = -(-n // chunk)
+    pad = nc * chunk - n
+
+    @partial(jax.jit, static_argnames=())
+    def build(Xp, Z, L_inv_T):
+        hi = jax.lax.Precision.HIGHEST
+
+        def step(C, x_blk):
+            Kb = block_fn(x_blk, Z)
+            b = jnp.matmul(Kb, L_inv_T, precision=hi)
+            return C + jnp.matmul(b.T, b, precision=hi), b
+
+        C0, Bc = jax.lax.scan(
+            step,
+            jnp.zeros((m, m), dtype),
+            Xp.reshape((nc, chunk) + Xp.shape[1:]),
+        )
+        B = Bc.reshape((nc * chunk, m))
+        if pad:
+            Bp = B[n:]
+            C0 = C0 - jnp.matmul(Bp.T, Bp, precision=hi)
+            B = B[:n]
+        return B, 0.5 * (C0 + C0.T)
+
+    if pad:
+        Xp = jnp.concatenate([X, jnp.broadcast_to(X[:1], (pad,) + X.shape[1:])])
+    else:
+        Xp = X
+    B, C0 = build(Xp, Z, L_inv_T)
+
+    # 3) m x m closing math on the host in f64.
+    C0_np = np.asarray(C0, np.float64)
+    C0_np = 0.5 * (C0_np + C0_np.T)
+    lam_m = _host_lambda_min(C0_np)
+    lam_max = max(float(np.linalg.norm(C0_np, ord=1)), 1e-30)
+    lam_m = max(lam_m, 100.0 * float(np.finfo(np.float32).eps) * lam_max / m)
+    delta = lam_m + float(sigma_sq)
+    chol_C = np.linalg.cholesky(C0_np + delta * np.eye(m))
+    return NystromPreconditioner(
+        B,
+        jnp.asarray(chol_C, dtype),
+        jnp.asarray(delta, dtype),
+    )
 
 
 def landmark_indices(n: int, m: int) -> jnp.ndarray:

@@ -1,0 +1,191 @@
+"""Round-5 solver upgrades: device-state float-float CG and the
+host-factorized (hybrid) streamed Nystrom build.
+
+Reference context: the reference solves densely in float64
+(``tests/linpde_gp/randprocs/test_posterior_gp.py``); these components
+are what make the gram-free float32 TPU path match that accuracy class
+at north-star sizes (PERFORMANCE.md).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from linpde_gp_tpu.ops.linalg.pcg import (
+    NystromPreconditioner,
+    ff_div,
+    ff_dot,
+    landmark_indices,
+    nystrom_preconditioner,
+    nystrom_preconditioner_hybrid,
+    pcg_ff,
+    pcg_host,
+)
+
+
+def _spd_system(n=512, cond=1e6, seed=0, dtype=np.float32):
+    rng = np.random.default_rng(seed)
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    lam = np.logspace(0.0, -np.log10(cond), n)
+    A = (Q * lam) @ Q.T
+    A = 0.5 * (A + A.T)
+    b = rng.standard_normal(n)
+    return A.astype(dtype), b.astype(dtype), lam
+
+
+def test_ff_scalar_helpers():
+    a = (jnp.float32(1.0), jnp.float32(1e-9))
+    b = (jnp.float32(3.0), jnp.float32(-2e-9))
+    q = ff_div(a, b)
+    got = float(q[0]) + float(q[1])
+    want = (1.0 + 1e-9) / (3.0 - 2e-9)
+    assert abs(got - want) < 1e-13
+
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(1000).astype(np.float32)
+    y = rng.standard_normal(1000).astype(np.float32)
+    d = ff_dot((jnp.asarray(x), jnp.zeros_like(jnp.asarray(x))),
+               (jnp.asarray(y), jnp.zeros_like(jnp.asarray(y))))
+    want = float(x.astype(np.float64) @ y.astype(np.float64))
+    assert abs((float(d[0]) + float(d[1])) - want) <= 1e-4 * abs(want) + 1e-5
+
+
+def test_pcg_ff_matches_host_f64_cg():
+    """ff device-state CG reaches the same tolerance class as the
+    host-float64 loop on an ill-conditioned f32 system (the round-4
+    finding was that plain-f32 CG state stalls at ~6e-4)."""
+    A, b, _ = _spd_system(n=384, cond=3e5)
+    sigma = 1e-4
+    A_np = A.astype(np.float64) + sigma * np.eye(A.shape[0])
+
+    res_host = pcg_host(
+        lambda v: A_np @ v, b.astype(np.float64), tol=1e-6, maxiter=2000
+    )
+    res_ff = pcg_ff(
+        lambda aux, v: jnp.asarray(aux) @ v, None,
+        jnp.asarray(A), None, jnp.asarray(b), sigma, tol=1e-6, maxiter=2000,
+    )
+    x_ref = np.linalg.solve(A_np, b.astype(np.float64))
+    err_ff = np.linalg.norm(np.asarray(res_ff.x, np.float64) - x_ref)
+    assert res_ff.relative_residual <= 2e-6
+    # The ff path's OPERATOR is the f32 matvec (unlike res_host's exact
+    # f64 one here), so its forward error is bounded by kappa * eps32,
+    # not by the f64 solution: assert the f32-operator accuracy class.
+    # (On the bench the ff CG drives the compensated matvec, whose
+    # operator error is ~1e-8 — this gap is a test-setup artifact.)
+    assert err_ff <= 1e-4 * np.linalg.norm(x_ref)
+    # Unpreconditioned at cond 3e5 the inexact (f32) operator costs some
+    # extra iterations vs the exact-f64 loop; bound the tax at 40%.
+    assert int(res_ff.iterations) <= 1.4 * int(res_host.iterations) + 20
+
+
+def test_pcg_ff_with_preconditioner():
+    A, b, _ = _spd_system(n=512, cond=1e5, seed=3)
+    sigma = 1e-3
+    idx = np.asarray(landmark_indices(512, 64))
+    M = nystrom_preconditioner(
+        jnp.asarray(A[:, idx]), jnp.asarray(A[np.ix_(idx, idx)]), sigma
+    )
+
+    def precond(aux, r):
+        return NystromPreconditioner(*aux)(r)
+
+    res = pcg_ff(
+        lambda aux, v: jnp.asarray(aux) @ v, precond,
+        jnp.asarray(A), (M.B, M.chol_C, M.delta),
+        jnp.asarray(b), sigma, tol=1e-6, maxiter=1000,
+    )
+    res_plain = pcg_ff(
+        lambda aux, v: jnp.asarray(aux) @ v, None,
+        jnp.asarray(A), None, jnp.asarray(b), sigma, tol=1e-6, maxiter=1000,
+    )
+    assert res.relative_residual <= 2e-6
+    assert int(res.iterations) < int(res_plain.iterations)
+    x_ref = np.linalg.solve(
+        A.astype(np.float64) + sigma * np.eye(512), b.astype(np.float64)
+    )
+    assert np.linalg.norm(np.asarray(res.x, np.float64) - x_ref) <= 1e-4 * (
+        1.0 + np.linalg.norm(x_ref)
+    )
+
+
+def test_hybrid_build_matches_legacy_quality():
+    """The host-factorized streamed build produces a preconditioner at
+    least as strong as the legacy all-device build (same rank), and its
+    streamed-chunk path (chunk < n) agrees with the unchunked one."""
+    rng = np.random.default_rng(7)
+    n, m = 700, 96
+    X = np.sort(rng.uniform(-1, 1, n)).astype(np.float32)[:, None]
+
+    def kfun(x0, x1):
+        d = x0[:, None, 0] - x1[None, :, 0]
+        t = jnp.abs(d) * 8.0
+        return (1.0 + t) * jnp.exp(-t)
+
+    sigma = 1e-4
+    idx = np.asarray(landmark_indices(n, m))
+    Z = X[idx]
+    K = np.asarray(kfun(jnp.asarray(X), jnp.asarray(X)), np.float64)
+    A = K + sigma * np.eye(n)
+
+    M_legacy = nystrom_preconditioner(
+        kfun(jnp.asarray(X), jnp.asarray(Z)),
+        kfun(jnp.asarray(Z), jnp.asarray(Z)),
+        sigma,
+    )
+    M_hybrid = nystrom_preconditioner_hybrid(
+        kfun, jnp.asarray(X), jnp.asarray(Z), sigma, chunk=256
+    )
+    assert M_hybrid.B.shape == (n, m)
+
+    def iters_with(M):
+        res = pcg_host(
+            lambda v: A @ v,
+            np.asarray(rng.standard_normal(n)),
+            M=lambda r: np.asarray(
+                M(jnp.asarray(r, jnp.float32)), np.float64
+            ),
+            tol=1e-8,
+            maxiter=2000,
+        )
+        assert res.relative_residual <= 1e-7
+        return int(res.iterations)
+
+    it_hybrid = iters_with(M_hybrid)
+    it_legacy = iters_with(M_legacy)
+    assert it_hybrid <= it_legacy + 2
+
+    # Unchunked reference build agrees with the streamed one.  The B
+    # factor rows are chunk-independent (each chunk's GEMM is the same
+    # computation); the scalar damping delta depends on the f32 C0
+    # summation order through the lambda_min estimate, so compare it
+    # loosely and B tightly.
+    M_ref = nystrom_preconditioner_hybrid(
+        kfun, jnp.asarray(X), jnp.asarray(Z), sigma, chunk=1024
+    )
+    np.testing.assert_allclose(
+        np.asarray(M_hybrid.B), np.asarray(M_ref.B), rtol=1e-4, atol=1e-5
+    )
+    assert 0.2 <= float(M_hybrid.delta) / float(M_ref.delta) <= 5.0
+
+
+def test_hybrid_build_survives_singular_kzz():
+    """Wide smooth-kernel landmark Grams are numerically singular; the
+    host factorization must escalate jitter rather than fail."""
+    rng = np.random.default_rng(11)
+    n, m = 300, 64
+    X = np.sort(rng.uniform(-1, 1, n)).astype(np.float32)[:, None]
+
+    def kfun(x0, x1):
+        d = x0[:, None, 0] - x1[None, :, 0]
+        return jnp.exp(-0.5 * (d / 0.5) ** 2)  # ExpQuad: singular K_ZZ
+
+    idx = np.asarray(landmark_indices(n, m))
+    M = nystrom_preconditioner_hybrid(
+        kfun, jnp.asarray(X), jnp.asarray(X[idx]), 1e-6, chunk=128
+    )
+    r = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    out = np.asarray(M(r))
+    assert np.all(np.isfinite(out))

@@ -223,6 +223,14 @@ def _accelerator_run(k_hh, k_cross, X, Y, Xq, *, noise_rel, rank, tol, maxiter,
             w, iters, relres = condition_hybrid(x_dev, y_dev)
             wn = np.asarray(w[:8])
             assert np.all(np.isfinite(wn)), "non-finite representer weights"
+            # A stalled CG (e.g. an f32-floor regression in the
+            # preconditioner) must trip the mode ladder, not ship a
+            # non-converged "result".
+            if float(relres) > 100.0 * tol:
+                raise RuntimeError(
+                    f"pcg_ff failed to converge: relres={float(relres):.3e} "
+                    f"after {int(iters)} iterations"
+                )
             return jnp.asarray(w, lo_dtype), int(iters), float(relres)
     else:
         _log(f"building Nystrom preconditioner (rank {len(idx)}) ...")

@@ -156,8 +156,12 @@ def main():
         iters0, relres0 = reg.solve_info
         # iters==0 with nan relres = NaN rhs (e.g. anchor-Cholesky
         # breakdown upstream), which leaves w at a FINITE all-zero
-        # initial guess — catch it too.
-        if np.all(np.isfinite(w)) and np.isfinite(relres0) and iters0 > 0:
+        # initial guess — catch it too.  A FINITE relres at iters==0 is
+        # legitimate 0-iteration convergence (rhs already below
+        # tol*||b||), not a failure (ADVICE r4).
+        if np.all(np.isfinite(w)) and np.isfinite(relres0) and (
+            iters0 > 0 or relres0 <= tol
+        ):
             break
         anchor_noise *= 10.0  # f32 anchor-Cholesky breakdown: escalate
         _log(f"non-finite weights; retrying with anchor_noise={anchor_noise:g}")

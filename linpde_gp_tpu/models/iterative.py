@@ -235,6 +235,7 @@ class IterativeGPRegressor:
         self._weights = None
         self._anchor_weights = None
         self._solve_info = None
+        self._host_matvec = None
 
     # ------------------------------------------------------------------
     def _gram_matvec(self, v: jnp.ndarray) -> jnp.ndarray:
@@ -279,18 +280,24 @@ class IterativeGPRegressor:
         Nyström factor) are passed as ARGUMENTS — closure-captured
         arrays become constants embedded in the serialized XLA program,
         and at north-star sizes that breaks the remote compile service
-        (see :func:`_apply_preconditioner`)."""
-        if self._anchors is not None:
-            a = self._anchors
-            base = jax.jit(
-                lambda W, chol1, v: self._gram_matvec(v)
-                - W @ jax.scipy.linalg.cho_solve((chol1, True), W.T @ v)
-            )
-            matvec = lambda v: base(a["W"], a["chol1"], v)  # noqa: E731
-        else:
-            matvec = jax.jit(self._gram_matvec)
+        (see :func:`_apply_preconditioner`).
+
+        The jitted matvec is memoized per instance (ADVICE r4): wrapping
+        a fresh lambda in ``jax.jit`` on every ``_solve``/``var`` call
+        discards the trace cache between calls, and a cold compile on
+        the TPU rig costs 60-500 s."""
+        if self._host_matvec is None:
+            if self._anchors is not None:
+                a = self._anchors
+                base = jax.jit(
+                    lambda W, chol1, v: self._gram_matvec(v)
+                    - W @ jax.scipy.linalg.cho_solve((chol1, True), W.T @ v)
+                )
+                self._host_matvec = lambda v: base(a["W"], a["chol1"], v)
+            else:
+                self._host_matvec = jax.jit(self._gram_matvec)
         M_apply = (lambda r: _apply_preconditioner(M, r)) if M is not None else None
-        return matvec, M_apply
+        return self._host_matvec, M_apply
 
     def _solve(self, rhs: jnp.ndarray) -> jnp.ndarray:
         M = self._preconditioner()

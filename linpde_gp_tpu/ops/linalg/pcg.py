@@ -671,6 +671,22 @@ def _host_lambda_min(C0_np, power_iters: int = 40):
     return float(v @ (C0_np @ v))
 
 
+def _power_lambda_max(A_np, iters: int = 24):
+    import numpy as np
+
+    rng = np.random.default_rng(1)
+    v = rng.standard_normal(A_np.shape[0])
+    v /= np.linalg.norm(v)
+    lam = 0.0
+    for _ in range(iters):
+        w = A_np @ v
+        lam = float(np.linalg.norm(w))
+        if lam == 0.0:
+            return 0.0
+        v = w / lam
+    return lam
+
+
 def nystrom_preconditioner_hybrid(
     block_fn,
     X,
@@ -679,6 +695,7 @@ def nystrom_preconditioner_hybrid(
     *,
     chunk: int = 16384,
     jitter_rel: float = 1e-10,
+    f32_floor: float = 8.0,
 ) -> NystromPreconditioner:
     """Build the tail-damped Nyström preconditioner with the m x m math
     on the HOST in float64 and the O(n m^2) GEMMs streamed on device.
@@ -704,6 +721,26 @@ def nystrom_preconditioner_hybrid(
 
     ``block_fn(x0, x1) -> (n0, n1)`` must be jit-traceable (e.g. a
     compensated ``pallas_gram`` closure over the term specs).
+
+    ``f32_floor`` (the constant ``c`` below) encodes the DEVICE-precision
+    information limit (round-5 chip measurement: with host-f64-small
+    jitter alone the rank-8192 n=32768 solve STALLED at relres 5e-4):
+
+    - the ``(n, m)`` factor ``B = K_XZ L^{-T}`` is a device GEMM whose
+      f32 rounding is ~``eps * ||K_row|| * ||L^{-1}||`` per entry, so
+      ``||L^{-1}||`` must stay bounded: the K_ZZ jitter gets a floor
+      ``c * eps_dev * lambda_max(K_ZZ)``;
+    - the Woodbury apply cancels ``r - B w`` to ``~delta/lambda_1`` of
+      ``||r||`` in the deflated directions, with f32 errors
+      ``~eps_dev * lambda_1``; the damping gets a floor ``delta >=
+      c * eps_dev * lambda_1(C0)`` so that relative apply error is
+      ``<= 1/c``.
+
+    The induced preconditioned condition number is ``~1 + delta/sigma^2
+    ~ c * eps_dev * lambda_1 / sigma^2`` — the f32 resolution limit of
+    ANY rank-m Woodbury deflation, reached at moderate m (the spectrum
+    below the floor is unresolvable regardless of rank).  In float64 the
+    floors are ~1e-13 * lambda_1 and never bind.
     """
     import numpy as np
 
@@ -712,6 +749,7 @@ def nystrom_preconditioner_hybrid(
     n, m = X.shape[0], Z.shape[0]
     chunk = max(256, min(int(chunk), n))
     dtype = X.dtype if jnp.issubdtype(X.dtype, jnp.floating) else jnp.float32
+    eps_dev = float(jnp.finfo(dtype).eps)
 
     # 1) K_ZZ on device -> host f64, robust factorization, L^{-1} back.
     K_ZZ = np.asarray(jax.jit(block_fn)(Z, Z), np.float64)
@@ -719,10 +757,14 @@ def nystrom_preconditioner_hybrid(
     import scipy.linalg
 
     scale = float(np.mean(np.diag(K_ZZ)))
+    lam1_zz = _power_lambda_max(K_ZZ)
+    nu_floor = f32_floor * eps_dev * lam1_zz
     L = None
     for jr in (jitter_rel, 1e-8, 1e-6, 1e-4):
         try:
-            L = np.linalg.cholesky(K_ZZ + jr * scale * np.eye(m))
+            L = np.linalg.cholesky(
+                K_ZZ + max(jr * scale, nu_floor) * np.eye(m)
+            )
             break
         except np.linalg.LinAlgError:
             continue
@@ -768,8 +810,11 @@ def nystrom_preconditioner_hybrid(
     C0_np = np.asarray(C0, np.float64)
     C0_np = 0.5 * (C0_np + C0_np.T)
     lam_m = _host_lambda_min(C0_np)
-    lam_max = max(float(np.linalg.norm(C0_np, ord=1)), 1e-30)
-    lam_m = max(lam_m, 100.0 * float(np.finfo(np.float32).eps) * lam_max / m)
+    # Device-precision apply floor (see docstring): delta below
+    # c * eps_dev * lambda_1 makes the f32 Woodbury cancellation noise
+    # exceed the deflated-direction output.
+    lam1_c0 = _power_lambda_max(C0_np)
+    lam_m = max(lam_m, f32_floor * eps_dev * lam1_c0, 0.0)
     delta = lam_m + float(sigma_sq)
     chol_C = np.linalg.cholesky(C0_np + delta * np.eye(m))
     return NystromPreconditioner(

@@ -104,6 +104,10 @@ def test_end_to_end_sharded_poisson():
     mean2, std2 = sharded_posterior_eval(post, xq, mesh=mesh, with_std=True)
     np.testing.assert_allclose(np.asarray(mean2), np.asarray(post.mean(xq)), atol=1e-10)
     np.testing.assert_allclose(np.asarray(std2), np.asarray(post.std(xq)), atol=1e-10)
+    # Keep the mean-only program gated too (ADVICE r4: the with_std=False
+    # branch fell out of the fast tier after test consolidation).
+    mean_only = sharded_posterior_eval(post, xq, mesh=mesh, with_std=False)
+    np.testing.assert_allclose(np.asarray(mean_only), np.asarray(mean2), atol=1e-12)
 
 
 def test_pallas_gram_interpret_matches_dense():
@@ -337,6 +341,23 @@ def test_distributed_posterior_eval_mean_and_std():
     np.testing.assert_allclose(
         np.asarray(std), np.asarray(post.std(xq)), rtol=1e-6, atol=1e-8
     )
+
+
+def test_distributed_cholesky_2d_direct_small():
+    """Fast-tier gate on the DIRECT distributed_cholesky_2d entry point
+    (ADVICE r4: it was only reachable through the slow tier / the
+    auto-router after consolidation)."""
+    from linpde_gp_tpu.parallel import distributed_cholesky_2d
+
+    mesh = make_mesh(8)  # 2 x 4
+    rng_l = np.random.default_rng(21)
+    n, nb = 64, 16  # 4 block-columns: one cyclic round over the mesh cols
+    A = rng_l.standard_normal((n, n))
+    A = A @ A.T + n * np.eye(n)
+    L = np.asarray(
+        distributed_cholesky_2d(jnp.asarray(A), mesh=mesh, block_size=nb, jitter=0.0)
+    )
+    np.testing.assert_allclose(L, np.linalg.cholesky(A), rtol=0, atol=1e-8)
 
 
 @pytest.mark.slow

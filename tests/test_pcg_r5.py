@@ -171,6 +171,39 @@ def test_hybrid_build_matches_legacy_quality():
     assert 0.2 <= float(M_hybrid.delta) / float(M_ref.delta) <= 5.0
 
 
+def test_hybrid_build_f32_delta_floor():
+    """In float32 the damping delta must respect the device-precision
+    apply floor ``c * eps32 * lambda_1`` (round-5 chip stall: without it
+    the Woodbury cancellation noise exceeds the deflated-direction
+    output and CG stalls at ~5e-4)."""
+    rng = np.random.default_rng(13)
+    n, m = 400, 64
+    X = np.sort(rng.uniform(-1, 1, n)).astype(np.float32)[:, None]
+
+    def kfun(x0, x1):
+        d = x0[:, None, 0] - x1[None, :, 0]
+        t = jnp.abs(d) * 4.0
+        return 50.0 * (1.0 + t) * jnp.exp(-t)
+
+    idx = np.asarray(landmark_indices(n, m))
+    sigma = 1e-9  # far below the floor: the floor must dominate
+    M = nystrom_preconditioner_hybrid(
+        kfun, jnp.asarray(X), jnp.asarray(X[idx]), sigma, f32_floor=8.0
+    )
+    K = np.asarray(kfun(jnp.asarray(X), jnp.asarray(X)), np.float64)
+    lam1 = np.linalg.eigvalsh(K)[-1]  # lam1(C0) ~ lam1(K) here
+    eps32 = float(np.finfo(np.float32).eps)
+    assert float(M.delta) >= 0.5 * 8.0 * eps32 * lam1
+    # And the preconditioner still converges a CG solve.
+    A = K + 1e-4 * np.eye(n)
+    res = pcg_host(
+        lambda v: A @ v, rng.standard_normal(n),
+        M=lambda r: np.asarray(M(jnp.asarray(r, jnp.float32)), np.float64),
+        tol=1e-6, maxiter=1000,
+    )
+    assert res.relative_residual <= 1e-6
+
+
 def test_hybrid_build_survives_singular_kzz():
     """Wide smooth-kernel landmark Grams are numerically singular; the
     host factorization must escalate jitter rather than fail."""

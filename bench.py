@@ -67,6 +67,7 @@ def _accelerator_run(k_hh, k_cross, X, Y, Xq, *, noise_rel, rank, tol, maxiter,
         landmark_indices,
         make_pcg_ff_programs,
         nystrom_preconditioner,
+        nystrom_preconditioner_device,
         nystrom_preconditioner_hybrid,
         pcg,
         pcg_ff,
@@ -191,7 +192,15 @@ def _accelerator_run(k_hh, k_cross, X, Y, Xq, *, noise_rel, rank, tol, maxiter,
 
     def condition_hybrid(x, y):
         sigma_abs = float(noise_rel * diag)
-        M = nystrom_preconditioner_hybrid(
+        # "device" (default): all-device floored build, scalar-only host
+        # traffic — the hybrid (host-f64) build's four m^2 tunnel
+        # transfers plus 2-core host m^3 math measured ~500 s at m=8192.
+        build = (
+            nystrom_preconditioner_hybrid
+            if os.environ.get("BENCH_BUILD", "device") == "hybrid"
+            else nystrom_preconditioner_device
+        )
+        M = build(
             block_fn, x, jnp.asarray(np.asarray(x)[idx]), sigma_abs,
             chunk=int(os.environ.get(
                 "BENCH_CHUNK", max(2048, min(16384, int(6e11 // max(len(idx), 1) ** 2)))

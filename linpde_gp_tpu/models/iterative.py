@@ -21,11 +21,16 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.linalg.pcg import (
+    NystromPreconditioner,
     landmark_indices,
+    make_pcg_ff_programs,
     nystrom_preconditioner,
+    nystrom_preconditioner_device,
+    nystrom_preconditioner_hybrid,
     pcg,
     pcg_block,
     pcg_block_host,
+    pcg_ff,
     pcg_host,
 )
 from ..ops.pallas_gram import (
@@ -101,6 +106,8 @@ class IterativeGPRegressor:
         precond_rank: int | str = "auto",
         compensated: bool | None = None,
         host_cg: bool | None = None,
+        device_cg: bool = False,
+        precond_build: str = "auto",
         anchor_X=None,
         anchor_Y=None,
         anchor_noise: float = 1e-8,
@@ -141,6 +148,23 @@ class IterativeGPRegressor:
         # at north-star sizes, and upgrades CG vector arithmetic to host
         # float64 on f32-only backends (see ops/linalg/pcg.pcg_host).
         self.host_cg = _config.host_cg if host_cg is None else bool(host_cg)
+        # Round-5 device-state CG (ops/linalg/pcg.pcg_ff): CG vectors
+        # live on device as float-float pairs, two fused programs and
+        # scalar-only host traffic per iteration — the low-dispatch path
+        # for CHEAP matvecs (sum-of-Kronecker grids, banded kernels)
+        # where pcg_host's per-iteration copies would dominate.
+        self.device_cg = bool(device_cg)
+        # "hybrid": host-f64-factorized streamed Nystrom build with
+        # device-precision floors (see nystrom_preconditioner_hybrid) —
+        # stronger than the legacy all-device build at large n/m and the
+        # only build whose rank can exceed 8192 on a 16 GB chip.
+        # "device": same floors, all factorizations on device, scalar-only
+        # host traffic (the production TPU build — the hybrid's m^2 host
+        # transfers cost minutes on the tunnel).
+        if precond_build not in ("auto", "legacy", "hybrid", "device"):
+            raise ValueError(f"unknown precond_build: {precond_build!r}")
+        self.precond_build = precond_build
+        self._ff_programs = None
 
         k = prior.cov
         if L is not None:
@@ -239,16 +263,7 @@ class IterativeGPRegressor:
 
     # ------------------------------------------------------------------
     def _gram_matvec(self, v: jnp.ndarray) -> jnp.ndarray:
-        if self._gram_linop is not None:
-            return self._gram_linop @ v + self.noise_variance * v
-        if self._banded is not None:
-            return self._banded(v) + self.noise_variance * v
-        x = self.X.reshape(self.X.shape[0], -1)
-        if self._obs_spec is not None:
-            out = gram_matvec(self._obs_spec, x, x, v, compensated=self.compensated)
-        else:
-            out = gram_matrix(self._k_obs, self.X) @ v
-        return out + self.noise_variance * v
+        return self._gram_matvec_raw(v) + self.noise_variance * v
 
     def _preconditioner(self):
         """Lazily built Nyström preconditioner (None if rank 0)."""
@@ -257,11 +272,21 @@ class IterativeGPRegressor:
         if self._precond is None:
             idx = landmark_indices(self.X.shape[0], self.precond_rank)
             Z = self.X[idx]
-            K_XZ = gram_matrix(self._k_obs, self.X, Z)
-            K_ZZ = gram_matrix(self._k_obs, Z, Z)
-            self._precond = nystrom_preconditioner(
-                K_XZ, K_ZZ, self.noise_variance
-            )
+            if self.precond_build in ("hybrid", "device"):
+                build = (
+                    nystrom_preconditioner_hybrid
+                    if self.precond_build == "hybrid"
+                    else nystrom_preconditioner_device
+                )
+                self._precond = build(
+                    self._precond_block_fn, self.X, Z, self.noise_variance,
+                )
+            else:
+                K_XZ = gram_matrix(self._k_obs, self.X, Z)
+                K_ZZ = gram_matrix(self._k_obs, Z, Z)
+                self._precond = nystrom_preconditioner(
+                    K_XZ, K_ZZ, self.noise_variance
+                )
         return self._precond
 
     def _schur_matvec(self, v: jnp.ndarray) -> jnp.ndarray:
@@ -299,7 +324,80 @@ class IterativeGPRegressor:
         M_apply = (lambda r: _apply_preconditioner(M, r)) if M is not None else None
         return self._host_matvec, M_apply
 
+    def _precond_block_fn(self, x0, x1):
+        """Kernel block for the hybrid preconditioner build.  Uses the
+        COMPENSATED streaming evaluation when the kernel has term specs
+        and compensation is on: at N=1e5 the plain-f32 coherent Gram
+        error (~3.3e-7*n*k0) exceeds the floored damping delta, so an
+        uncompensated build would re-impose the tail it is meant to
+        resolve (the build costs n*m pairs once — negligible)."""
+        if self._obs_spec is not None and jax.default_backend() == "tpu":
+            from ..ops.pallas_gram import pallas_gram
+
+            scale, terms = self._obs_spec
+            out = pallas_gram(
+                terms,
+                x0.reshape(x0.shape[0], -1),
+                x1.reshape(x1.shape[0], -1),
+                compensated=self.compensated,
+            )
+            return scale * out if scale != 1.0 else out
+        return gram_matrix(self._k_obs, x0, x1)
+
+    def _gram_matvec_raw(self, v: jnp.ndarray) -> jnp.ndarray:
+        """Gram matvec WITHOUT the noise shift (pcg_ff applies sigma^2
+        itself, in float-float)."""
+        if self._gram_linop is not None:
+            return self._gram_linop @ v
+        if self._banded is not None:
+            return self._banded(v)
+        x = self.X.reshape(self.X.shape[0], -1)
+        if self._obs_spec is not None:
+            return gram_matvec(self._obs_spec, x, x, v, compensated=self.compensated)
+        return gram_matrix(self._k_obs, self.X) @ v
+
+    def _solve_device_cg(self, rhs: jnp.ndarray) -> jnp.ndarray:
+        """Device-state float-float CG (``pcg_ff``): two fused programs
+        and scalar-only host traffic per iteration.  The LARGE operands
+        (Nyström factor, anchor crosscov block) ride as jit arguments;
+        small closures (points, grid factor linops) are program
+        constants."""
+        M = self._preconditioner()
+
+        def mv(aux, v):
+            out = self._gram_matvec_raw(v)
+            if aux is not None:
+                W, chol1 = aux
+                out = out - W @ jax.scipy.linalg.cho_solve(
+                    (chol1, True), W.T @ v
+                )
+            return out
+
+        precond = (
+            (lambda aux, r: NystromPreconditioner(*aux)(r))
+            if M is not None
+            else None
+        )
+        if self._ff_programs is None:
+            self._ff_programs = make_pcg_ff_programs(mv, precond)
+        a = self._anchors
+        res = pcg_ff(
+            mv,
+            precond,
+            (a["W"], a["chol1"]) if a is not None else None,
+            (M.B, M.chol_C, M.delta) if M is not None else None,
+            rhs,
+            self.noise_variance,
+            tol=self.tol,
+            maxiter=self.maxiter,
+            programs=self._ff_programs,
+        )
+        self._solve_info = (int(res.iterations), float(res.relative_residual))
+        return jnp.asarray(res.x, dtype=rhs.dtype)
+
     def _solve(self, rhs: jnp.ndarray) -> jnp.ndarray:
+        if self.device_cg:
+            return self._solve_device_cg(rhs)
         M = self._preconditioner()
         if self.host_cg:
             matvec_j, M_j = self._host_programs(M)

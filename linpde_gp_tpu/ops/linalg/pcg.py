@@ -824,6 +824,120 @@ def nystrom_preconditioner_hybrid(
     )
 
 
+def nystrom_preconditioner_device(
+    block_fn,
+    X,
+    Z,
+    sigma_sq,
+    *,
+    chunk: int = 16384,
+    f32_floor: float = 8.0,
+) -> NystromPreconditioner:
+    """All-device floored Nyström build: SCALAR-only host traffic.
+
+    Numerically this is :func:`nystrom_preconditioner_hybrid` — same
+    streamed ``B``/``C0`` construction, same device-precision floors on
+    the K_ZZ stabilizer and the damping delta — but every factorization
+    runs on the DEVICE: the floors make the f32 Cholesky well-posed
+    (cond ~ 1/(c * eps32), inside the f32 cliff), with the
+    escalating-jitter robust Cholesky (``ops/linalg/chol.py``) as the
+    safety net.  Rationale (round 5, measured): the hybrid build moves
+    four m x m buffers through the host — ~1 GB at m=8192 — and at this
+    rig's tunnel bandwidth plus 2-core host f64 m^3 math that cost
+    ~500 s per build at n=32768, dwarfing the 33-iteration solve it
+    enabled.  Only lambda_max/lambda_min estimates (scalars) cross the
+    tunnel here.
+    """
+    from .chol import cholesky as robust_cholesky
+
+    X = jnp.asarray(X)
+    Z = jnp.asarray(Z)
+    n, m = X.shape[0], Z.shape[0]
+    chunk = max(256, min(int(chunk), n))
+    dtype = X.dtype if jnp.issubdtype(X.dtype, jnp.floating) else jnp.float32
+    eps_dev = float(jnp.finfo(dtype).eps)
+    hi = jax.lax.Precision.HIGHEST
+
+    def _lam1(A, v0):
+        def body(_, v):
+            w = jnp.matmul(A, v, precision=hi)
+            return w / jnp.maximum(jnp.linalg.norm(w), 1e-30)
+
+        v = jax.lax.fori_loop(0, 16, body, v0)
+        return jnp.linalg.norm(jnp.matmul(A, v, precision=hi))
+
+    @jax.jit
+    def kzz_and_lam1(Z):
+        K_ZZ = block_fn(Z, Z)
+        K_ZZ = 0.5 * (K_ZZ + K_ZZ.T)
+        v0 = jnp.ones((m,), K_ZZ.dtype) / jnp.sqrt(jnp.asarray(m, K_ZZ.dtype))
+        return K_ZZ, _lam1(K_ZZ, v0)
+
+    K_ZZ, lam1_zz = kzz_and_lam1(Z)
+    nu = f32_floor * eps_dev * float(lam1_zz)
+    L = robust_cholesky(
+        K_ZZ + nu * jnp.eye(m, dtype=K_ZZ.dtype), jitter=0.0
+    )
+
+    nc = -(-n // chunk)
+    pad = nc * chunk - n
+
+    @jax.jit
+    def build(Xp, Z, L):
+        L_inv_T = jax.scipy.linalg.solve_triangular(
+            L, jnp.eye(m, dtype=L.dtype), lower=True
+        ).T
+
+        def step(C, x_blk):
+            Kb = block_fn(x_blk, Z)
+            b = jnp.matmul(Kb, L_inv_T, precision=hi)
+            return C + jnp.matmul(b.T, b, precision=hi), b
+
+        C0, Bc = jax.lax.scan(
+            step,
+            jnp.zeros((m, m), dtype),
+            Xp.reshape((nc, chunk) + Xp.shape[1:]),
+        )
+        B = Bc.reshape((nc * chunk, m))
+        if pad:
+            Bp = B[n:]
+            C0 = C0 - jnp.matmul(Bp.T, Bp, precision=hi)
+            B = B[:n]
+        C0 = 0.5 * (C0 + C0.T)
+        v0 = jnp.ones((m,), C0.dtype) / jnp.sqrt(jnp.asarray(m, C0.dtype))
+        return B, C0, _lam1(C0, v0)
+
+    if pad:
+        Xp = jnp.concatenate([X, jnp.broadcast_to(X[:1], (pad,) + X.shape[1:])])
+    else:
+        Xp = X
+    B, C0, lam1_c0 = build(Xp, Z, L)
+    lam1_c0 = float(lam1_c0)
+
+    # lambda_min(C0) by on-device inverse iteration against a minimally
+    # stabilized factor (the Frangella-Tropp tail damping needs it when
+    # it exceeds the f32 floor, e.g. in float64 or at small scales).
+    chol0 = robust_cholesky(C0, jitter=eps_dev)
+
+    @jax.jit
+    def lam_min_est(C0, chol0):
+        v0 = jnp.ones((m,), C0.dtype) / jnp.sqrt(jnp.asarray(m, C0.dtype))
+
+        def body(_, v):
+            w = jax.scipy.linalg.cho_solve((chol0, True), v)
+            return w / jnp.maximum(jnp.linalg.norm(w), 1e-30)
+
+        v = jax.lax.fori_loop(0, 24, body, v0)
+        return jnp.vdot(v, jnp.matmul(C0, v, precision=hi))
+
+    lam_m = max(float(lam_min_est(C0, chol0)), 0.0)
+    delta = max(lam_m, f32_floor * eps_dev * lam1_c0) + float(sigma_sq)
+    chol_C = robust_cholesky(
+        C0 + delta * jnp.eye(m, dtype=C0.dtype), jitter=0.0
+    )
+    return NystromPreconditioner(B, chol_C, jnp.asarray(delta, dtype))
+
+
 def landmark_indices(n: int, m: int) -> jnp.ndarray:
     """``m`` deterministic, evenly spread landmark indices in ``[0, n)``.
 

@@ -19,6 +19,7 @@ from linpde_gp_tpu.ops.linalg.pcg import (
     ff_dot,
     landmark_indices,
     nystrom_preconditioner,
+    nystrom_preconditioner_device,
     nystrom_preconditioner_hybrid,
     pcg_ff,
     pcg_host,
@@ -202,6 +203,78 @@ def test_hybrid_build_f32_delta_floor():
         tol=1e-6, maxiter=1000,
     )
     assert res.relative_residual <= 1e-6
+
+
+def test_device_build_matches_hybrid():
+    """The all-device floored build must agree with the host-factorized
+    hybrid build (same math, different execution venue): comparable B,
+    damping of the same magnitude, same CG iteration count class."""
+    rng = np.random.default_rng(17)
+    n, m = 640, 96
+    X = np.sort(rng.uniform(-1, 1, n)).astype(np.float32)[:, None]
+
+    def kfun(x0, x1):
+        d = x0[:, None, 0] - x1[None, :, 0]
+        t = jnp.abs(d) * 6.0
+        return 3.0 * (1.0 + t + t * t / 3.0) * jnp.exp(-t)
+
+    idx = np.asarray(landmark_indices(n, m))
+    Z = jnp.asarray(X[idx])
+    sigma = 1e-4
+    M_h = nystrom_preconditioner_hybrid(kfun, jnp.asarray(X), Z, sigma, chunk=256)
+    M_d = nystrom_preconditioner_device(kfun, jnp.asarray(X), Z, sigma, chunk=256)
+    assert 0.2 <= float(M_d.delta) / float(M_h.delta) <= 5.0
+    K = np.asarray(kfun(jnp.asarray(X), jnp.asarray(X)), np.float64)
+    A = K + sigma * np.eye(n)
+    rhs = rng.standard_normal(n)
+
+    def iters_with(M):
+        res = pcg_host(
+            lambda v: A @ v, rhs,
+            M=lambda r: np.asarray(M(jnp.asarray(r, jnp.float32)), np.float64),
+            tol=1e-7, maxiter=2000,
+        )
+        assert res.relative_residual <= 1e-6
+        return int(res.iterations)
+
+    assert abs(iters_with(M_d) - iters_with(M_h)) <= 8
+
+
+def test_regressor_device_cg_hybrid_matches_default():
+    """IterativeGPRegressor(device_cg=True, precond_build='hybrid') must
+    reproduce the default solver's posterior on a PDE conditioning
+    problem (anchored Schur path included)."""
+    import linpde_gp_tpu as lgt
+    from linpde_gp_tpu.models.iterative import IterativeGPRegressor
+    from linpde_gp_tpu.ops import diffops
+
+    prior = lgt.GaussianProcess(
+        lgt.functions.Zero((2,)),
+        1.0 * lgt.kernels.TensorProduct(
+            lgt.kernels.Matern((), nu=1.5, lengthscales=2.5),
+            lgt.kernels.Matern((), nu=2.5, lengthscales=2.0),
+        ),
+    )
+    H = diffops.HeatOperator((2,), alpha=0.1)
+    rng = np.random.default_rng(2)
+    n = 600
+    X = np.stack([rng.uniform(0, 5, n), rng.uniform(-1, 1, n)], -1)
+    Y = rng.standard_normal(n)
+    Xa = np.stack([np.zeros(24), np.linspace(-1, 1, 24)], -1)
+    Ya = np.sin(np.pi * Xa[:, 1])
+    kw = dict(L=H, noise_variance=1e-4, tol=1e-10, maxiter=3000,
+              precond_rank=128, anchor_X=Xa, anchor_Y=Ya, anchor_noise=1e-8)
+    ref = IterativeGPRegressor(prior, X, Y, **kw)
+    new = IterativeGPRegressor(
+        prior, X, Y, device_cg=True, precond_build="hybrid", **kw
+    )
+    xq = np.stack([rng.uniform(0, 5, 64), rng.uniform(-1, 1, 64)], -1)
+    m_ref = np.asarray(ref.mean(jnp.asarray(xq)))
+    m_new = np.asarray(new.mean(jnp.asarray(xq)))
+    scale = max(np.abs(m_ref).max(), 1e-12)
+    assert np.max(np.abs(m_new - m_ref)) <= 1e-6 * scale + 1e-8
+    it, rr = new.solve_info
+    assert rr <= 1e-9
 
 
 def test_hybrid_build_survives_singular_kzz():

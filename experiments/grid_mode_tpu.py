@@ -49,7 +49,9 @@ def main():
         except Exception:
             pass
     jax.config.update("jax_default_matmul_precision", "highest")
-    if not on_tpu:
+    # GM_X64=0 forces the f32 path on CPU (debug repro of chip behavior).
+    x64 = bool(int(os.environ.get("GM_X64", 0 if on_tpu else 1)))
+    if x64 and not on_tpu:
         jax.config.update("jax_enable_x64", True)
 
     import jax.numpy as jnp
@@ -68,7 +70,11 @@ def main():
     rank = int(os.environ.get("GM_RANK", 2048 if on_tpu else 256))
     tol = float(os.environ.get("GM_TOL", 1e-5 if on_tpu else 1e-6))
     maxiter = int(os.environ.get("GM_MAXITER", 512 if on_tpu else 4000))
-    dtype = np.float32 if on_tpu else np.float64
+    f32 = on_tpu or not x64
+    dtype = np.float32 if f32 else np.float64
+    device_cg = bool(int(os.environ.get("GM_DEVICE_CG", 1 if f32 else 0)))
+    compensated = bool(int(os.environ.get("GM_COMP", 1 if f32 else 0)))
+    build = os.environ.get("GM_BUILD", "device" if f32 else "auto")
 
     spatial_domain = lgt.domains.asdomain([-1.0, 1.0])
     ibvp = lgt.problems.HeatEquationDirichletProblem(
@@ -139,10 +145,10 @@ def main():
         noise_variance=noise_variance,
         tol=tol, maxiter=maxiter,
         precond_rank=min(rank, n_pde // 4),
-        compensated=on_tpu,
+        compensated=compensated,
         host_cg=False,
-        device_cg=on_tpu,
-        precond_build="device" if on_tpu else "auto",
+        device_cg=device_cg,
+        precond_build=build,
         anchor_X=X_anchor, anchor_Y=Y_anchor, anchor_noise=anchor_noise,
     )
     assert reg._gram_linop is not None, "sum-of-Kronecker routing not engaged"
@@ -162,10 +168,10 @@ def main():
         noise_variance=noise_variance,
         tol=tol, maxiter=maxiter,
         precond_rank=min(rank, n_pde // 4),
-        compensated=on_tpu,
+        compensated=compensated,
         host_cg=False,
-        device_cg=on_tpu,
-        precond_build="device" if on_tpu else "auto",
+        device_cg=device_cg,
+        precond_build=build,
         anchor_X=X_anchor, anchor_Y=Y_anchor, anchor_noise=anchor_noise,
     )
     _ = np.asarray(reg2.representer_weights[:4])

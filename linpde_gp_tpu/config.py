@@ -49,6 +49,17 @@ class _Config:
     #: body holds ~6 (tile, tile) f32 temporaries.
     matvec_tile: int = 512
 
+    #: Tile sizes of the BANDED (compact-support) matvec schedule; None
+    #: falls back to ``matvec_tile``.  The banded grid walks only the
+    #: column-tile window inside the support radius, so its per-grid-step
+    #: scheduling floor dominates at small tiles (round-4 measurement:
+    #: 2.2-3.0x of the 8.5x tile-ratio bound at N=1e5).  Growing tile0 is
+    #: structurally almost free — the window widens by only the row
+    #: tile's coordinate SPREAD (~tile0/n of the domain) on top of
+    #: 2*radius — and fewer, larger steps amortize the floor.
+    banded_tile0: int | None = None
+    banded_tile1: int | None = None
+
     #: Minimum problem size (rows * cols) before the Pallas Gram path is
     #: preferred over plain broadcast evaluation.
     pallas_gram_threshold: int = 1 << 22

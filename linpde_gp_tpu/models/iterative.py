@@ -27,8 +27,10 @@ from ..ops.linalg.pcg import (
     nystrom_preconditioner,
     nystrom_preconditioner_device,
     nystrom_preconditioner_hybrid,
+    make_pcg_block_ff_programs,
     pcg,
     pcg_block,
+    pcg_block_ff,
     pcg_block_host,
     pcg_ff,
     pcg_host,
@@ -191,6 +193,7 @@ class IterativeGPRegressor:
         # whole iterative solve.  C-order grid flattening matches the
         # Kronecker vec convention.
         self._gram_linop = None
+        self._kron_ff = None
         from .domains.grid import grid_factors
         from ..ops.linalg.linops import Dense
 
@@ -201,6 +204,25 @@ class IterativeGPRegressor:
                 linop = None
             if linop is not None and not isinstance(linop, Dense):
                 self._gram_linop = linop
+            # Compensated grid matvec: the PLAIN f32 sum-of-Kronecker
+            # evaluation carries ~600*eps32 coherent error from term
+            # cancellation (measured ||E v||/||v|| ~ 7e-2 at a (200,100)
+            # heat grid — 140x a 1e-3-relative nugget), so honest-noise
+            # conditioning on grids needs the float-float tables+GEMMs
+            # of ops/kron_ff.py whenever compensation is on.
+            if (
+                self.compensated
+                and self._obs_spec is not None
+                and len(grid_factors(X)) == 2
+            ):
+                try:
+                    from ..ops.kron_ff import KronFFMatvec
+
+                    self._kron_ff = KronFFMatvec(
+                        self._obs_spec, grid_factors(X)
+                    )
+                except NotImplementedError:
+                    self._kron_ff = None
 
         # Compact-support routing (Wendland family): when every term's
         # dim-0 factor vanishes beyond a radius, the Gram matvec visits
@@ -347,6 +369,8 @@ class IterativeGPRegressor:
     def _gram_matvec_raw(self, v: jnp.ndarray) -> jnp.ndarray:
         """Gram matvec WITHOUT the noise shift (pcg_ff applies sigma^2
         itself, in float-float)."""
+        if self._kron_ff is not None:
+            return self._kron_ff(v)
         if self._gram_linop is not None:
             return self._gram_linop @ v
         if self._banded is not None:
@@ -484,6 +508,11 @@ class IterativeGPRegressor:
             [kxX, jnp.zeros((pad, kxX.shape[1]), kxX.dtype)], axis=0
         )
 
+        if self.device_cg:
+            return self._var_device(
+                xq, batch, rhs_all, kx1 if anchors is not None else None,
+                M, bs, nq,
+            )
         if self.host_cg:
             return self._var_host(
                 xq, batch, rhs_all, kx1 if anchors is not None else None,
@@ -530,6 +559,71 @@ class IterativeGPRegressor:
                     kx1_all.reshape(-1, bs, kx1.shape[1]),
                 ),
             ).reshape(-1)[:nq]
+        prior_var = self.prior.cov(xq)
+        return jnp.maximum(prior_var - updates, 0.0).reshape(batch)
+
+    def _var_device(self, xq, batch, rhs_all, kx1, M, bs, nq) -> jnp.ndarray:
+        """Posterior variance by device-state blocked ff CG
+        (``pcg_block_ff``): one shared (n, bs) streaming mat-mat per
+        iteration, CG state on device, per-column residual scalars the
+        only per-iteration host traffic.  The north-star variance path —
+        ``_var_host`` moves O(n*bs) buffers through the tunnel every
+        iteration, and the fused ``pcg_block`` program does not compile
+        at these sizes (round-4/5 measurements)."""
+        anchors = self._anchors
+
+        def mv(aux, v):
+            out = self._gram_matvec_raw(v)
+            if aux is not None:
+                W, chol1 = aux
+                out = out - W @ jax.scipy.linalg.cho_solve(
+                    (chol1, True), W.T @ v
+                )
+            return out
+
+        precond = (
+            (lambda aux, r: NystromPreconditioner(*aux)(r))
+            if M is not None
+            else None
+        )
+        programs = make_pcg_block_ff_programs(mv, precond)
+        mv_aux = (anchors["W"], anchors["chol1"]) if anchors is not None else None
+        pc_aux = (M.B, M.chol_C, M.delta) if M is not None else None
+
+        if anchors is not None:
+            kx1 = jnp.concatenate(
+                [
+                    kx1,
+                    jnp.zeros((rhs_all.shape[0] - nq, kx1.shape[1]), kx1.dtype),
+                ]
+            )
+        updates = []
+        nblocks = rhs_all.shape[0] // bs
+        for i in range(nblocks):
+            U2 = rhs_all[i * bs:(i + 1) * bs].T  # (n, bs) on device
+            if anchors is None:
+                res = pcg_block_ff(
+                    mv, precond, mv_aux, pc_aux, U2, self.noise_variance,
+                    tol=self.tol, maxiter=self.maxiter, programs=programs,
+                )
+                updates.append(jnp.sum(U2 * res.x, axis=0))
+            else:
+                a = anchors
+                U1 = kx1[i * bs:(i + 1) * bs].T  # (n1, bs)
+                T1 = jax.scipy.linalg.cho_solve((a["chol1"], True), U1)
+                R2 = U2 - a["W"] @ T1
+                res = pcg_block_ff(
+                    mv, precond, mv_aux, pc_aux, R2, self.noise_variance,
+                    tol=self.tol, maxiter=self.maxiter, programs=programs,
+                )
+                S2 = res.x
+                Z1 = T1 - jax.scipy.linalg.cho_solve(
+                    (a["chol1"], True), a["W"].T @ S2
+                )
+                updates.append(
+                    jnp.sum(U2 * S2, axis=0) + jnp.sum(U1 * Z1, axis=0)
+                )
+        updates = jnp.concatenate(updates)[:nq]
         prior_var = self.prior.cov(xq)
         return jnp.maximum(prior_var - updates, 0.0).reshape(batch)
 

@@ -494,6 +494,159 @@ def pcg_ff(
     return PCGResult(x_out, np.asarray(k), np.asarray(relres))
 
 
+def ff_dot_cols(x, y):
+    """Per-column dot products of two (n, r) ff arrays -> (r,) ff pair
+    (the blocked-CG analogue of :func:`ff_dot`)."""
+    from ..ff import two_prod, two_sum
+
+    p, e = two_prod(x[0], y[0])
+    lo = e + (x[0] * y[1] + x[1] * y[0])
+    s, c = two_sum(jnp.sum(p, axis=0), jnp.sum(lo, axis=0))
+    return s, c
+
+
+def make_pcg_block_ff_programs(matvec, precond):
+    """Two fused per-iteration device programs for :func:`pcg_block_ff`
+    (multi-RHS analogue of :func:`make_pcg_ff_programs`): state arrays
+    are (n, r) ff pairs, CG scalars are per-column (r,) ff pairs, and
+    ``active`` masks freeze converged columns exactly like
+    :func:`pcg_block`."""
+
+    @jax.jit
+    def step_A(mv_aux, sigma_ff, X, P, R, rz, active):
+        from ..ff import ff_add, ff_mul
+
+        KP = matvec(mv_aux, P[0])
+        AP = ff_add((KP, jnp.zeros_like(KP)), ff_mul(P, sigma_ff))
+        pAp = ff_dot_cols(P, AP)
+        safe = (pAp[0] != 0) & active
+        denom = (jnp.where(safe, pAp[0], 1.0), jnp.where(safe, pAp[1], 0.0))
+        alpha = ff_div(rz, denom)
+        alpha = (
+            jnp.where(safe, alpha[0], 0.0).astype(KP.dtype),
+            jnp.where(safe, alpha[1], 0.0).astype(KP.dtype),
+        )
+        X_new = _ff_axpy((alpha[0][None, :], alpha[1][None, :]), P, X)
+        R_new = _ff_axpy((-alpha[0][None, :], -alpha[1][None, :]), AP, R)
+        rn2 = ff_dot_cols(R_new, R_new)
+        return X_new, R_new, rn2[0]
+
+    @jax.jit
+    def step_B(pc_aux, R, R_old, P, rz_old, active):
+        from ..ff import ff_add, ff_mul
+
+        if precond is None:
+            Z = R[0]
+        else:
+            Z = precond(pc_aux, R[0])
+        Zf = (Z, jnp.zeros_like(Z))
+        rz_new = ff_dot_cols(R, Zf)
+        zr_old = ff_dot_cols(Zf, R_old)
+        num = ff_sub(rz_new, zr_old)
+        safe = (rz_old[0] != 0) & active
+        denom = (jnp.where(safe, rz_old[0], 1.0), jnp.where(safe, rz_old[1], 0.0))
+        beta = ff_div(num, denom)
+        keep = safe & (beta[0] > 0)
+        beta = (
+            jnp.where(keep, beta[0], 0.0).astype(Z.dtype),
+            jnp.where(keep, beta[1], 0.0).astype(Z.dtype),
+        )
+        P_new = ff_add(Zf, ff_mul(P, (beta[0][None, :], beta[1][None, :])))
+        return P_new, rz_new
+
+    return step_A, step_B
+
+
+def pcg_block_ff(
+    matvec,
+    precond,
+    mv_aux,
+    pc_aux,
+    B,
+    sigma_sq: float,
+    *,
+    tol: float = 1e-6,
+    maxiter: int = 512,
+    programs=None,
+) -> PCGResult:
+    """Device-state multi-RHS flexible PCG with float-float state.
+
+    The blocked analogue of :func:`pcg_ff`: one shared ``matvec((n, r))``
+    per iteration serves all ``r`` right-hand sides, the (n, r) CG state
+    lives on device as ff pairs, and the host reads only the lagged
+    per-column ``||r_j||^2`` vector (r floats) per iteration.  This is
+    what makes posterior-VARIANCE sweeps viable at north-star sizes on
+    this rig: ``pcg_block_host`` moves four O(n*r) buffers (~800 MB at
+    n=1e5, r=256) through the tunnel per iteration, and the fused
+    ``lax.while_loop`` body of :func:`pcg_block` aborts the remote
+    compile service (round-4 measurements).
+
+    Examples
+    --------
+    >>> import numpy as np, jax.numpy as jnp
+    >>> d = jnp.asarray([1.0, 2.0, 3.0], jnp.float32)
+    >>> B = jnp.stack([jnp.ones(3), d], axis=1)
+    >>> res = pcg_block_ff(lambda aux, v: aux[:, None] * v - 0.5 * v, None,
+    ...                    d, None, B, 0.5, tol=1e-10)
+    >>> np.round(np.asarray(res.x, np.float64), 5)
+    array([[1.     , 1.     ],
+           [0.5    , 1.     ],
+           [0.33333, 1.     ]])
+    """
+    import numpy as np
+
+    from ..ff import ff_const
+
+    step_A, step_B = (
+        programs
+        if programs is not None
+        else make_pcg_block_ff_programs(matvec, precond)
+    )
+
+    B = jnp.asarray(B)
+    dtype = B.dtype
+    r = B.shape[1]
+    zeros = jnp.zeros_like(B)
+    sigma_ff = tuple(
+        jnp.asarray(v, dtype) for v in ff_const(float(sigma_sq), dtype)
+    )
+    X = (zeros, zeros)
+    R = (B, zeros)
+    b_norm = np.linalg.norm(np.asarray(B, np.float64), axis=0)
+    threshold2 = (tol * np.where(b_norm > 0, b_norm, 1.0)) ** 2
+
+    ones_r = jnp.ones((r,), dtype)
+    active = jnp.asarray(np.ones(r, bool))
+    P, rz = step_B(pc_aux, R, (zeros, zeros), (zeros, zeros),
+                   (ones_r, jnp.zeros((r,), dtype)), active)
+
+    k = 0
+    rn2_prev = None
+    rn2_final = None
+    while k < maxiter:
+        R_old = R
+        X, R, rn2 = step_A(mv_aux, sigma_ff, X, P, R, rz, active)
+        P, rz = step_B(pc_aux, R, R_old, P, rz, active)
+        k += 1
+        if rn2_prev is not None:
+            vals = np.asarray(rn2_prev, np.float64)
+            if not np.all(np.isfinite(vals)):
+                rn2_final = rn2_prev
+                break
+            still = vals > threshold2
+            if not np.any(still):
+                rn2_final = rn2_prev
+                break
+            active = jnp.asarray(still)
+        rn2_prev = rn2
+        rn2_final = rn2
+    vals = np.asarray(rn2_final, np.float64)
+    relres = float(
+        np.max(np.sqrt(np.maximum(vals, 0.0)) / np.where(b_norm > 0, b_norm, 1.0))
+    )
+    return PCGResult(X[0] + X[1], np.asarray(k), np.asarray(relres))
+
+
 class NystromPreconditioner(NamedTuple):
     """Tail-damped Nyström preconditioner ``P = δ I + B Bᵀ`` with
     ``B = K_XZ L_ZZ^{-T}`` (so ``B Bᵀ`` is the rank-``m`` Nyström

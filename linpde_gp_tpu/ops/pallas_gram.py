@@ -746,8 +746,8 @@ def make_banded_matvec(spec, X0, X1, *, radius: float | None = None, interpret: 
     X0s = X0[perm0]
     X1s = X1[perm1]
 
-    tile0 = min(config.matvec_tile, _round_up(n0, 8))
-    tile1 = min(config.matvec_tile, _round_up(n1, 128))
+    tile0 = min(config.banded_tile0 or config.matvec_tile, _round_up(n0, 8))
+    tile1 = min(config.banded_tile1 or config.matvec_tile, _round_up(n1, 128))
     n0p = _round_up(n0, tile0)
     n1p = _round_up(n1, tile1)
     ntiles1 = n1p // tile1

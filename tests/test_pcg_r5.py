@@ -275,6 +275,11 @@ def test_regressor_device_cg_hybrid_matches_default():
     assert np.max(np.abs(m_new - m_ref)) <= 1e-6 * scale + 1e-8
     it, rr = new.solve_info
     assert rr <= 1e-9
+    # Variance through the blocked device-state ff CG (pcg_block_ff).
+    v_ref = np.asarray(ref.var(jnp.asarray(xq)))
+    v_new = np.asarray(new.var(jnp.asarray(xq), block_size=24))
+    vscale = max(np.abs(v_ref).max(), 1e-12)
+    assert np.max(np.abs(v_new - v_ref)) <= 1e-5 * vscale
 
 
 def test_hybrid_build_survives_singular_kzz():

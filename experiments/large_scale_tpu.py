@@ -146,10 +146,16 @@ def main():
             tol=tol, maxiter=maxiter,
             precond_rank=min(rank, n_pde // 4),
             compensated=compensated,
-            # Host-driven CG on TPU (pcg_host): the fused while_loop body
-            # at n=1e5 aborts the rig's remote compile service; the split
-            # per-iteration programs compile fine (measured round 4).
-            host_cg=bool(int(os.environ.get("LS_HOST_CG", 1))) and on_tpu,
+            # Round 5: device-state ff CG + floored device Nystrom build
+            # (Schur-corrected for the anchor batch) replace the round-4
+            # host-orchestrated loop — same solution, ~6x fewer
+            # iterations and scalar-only per-iteration host traffic.
+            # LS_DEVICE_CG=0 LS_HOST_CG=1 restores the r4 path.
+            host_cg=bool(int(os.environ.get("LS_HOST_CG", 0))) and on_tpu,
+            device_cg=bool(int(os.environ.get("LS_DEVICE_CG", 1))) and on_tpu,
+            precond_build=os.environ.get(
+                "LS_BUILD", "device" if on_tpu else "auto"
+            ),
             anchor_X=X_anchor, anchor_Y=Y_anchor, anchor_noise=anchor_noise,
         )
         w = np.asarray(reg.representer_weights[:4])

@@ -303,6 +303,15 @@ class IterativeGPRegressor:
                 self._precond = build(
                     self._precond_block_fn, self.X, Z, self.noise_variance,
                 )
+            elif self._anchors is not None:
+                # Anchored: build from the SCHUR-operator blocks (see
+                # _precond_block_fn) so the preconditioner matches the
+                # operator CG actually runs on.
+                K_XZ = self._precond_block_fn(self.X, Z)
+                K_ZZ = self._precond_block_fn(Z, Z)
+                self._precond = nystrom_preconditioner(
+                    K_XZ, K_ZZ, self.noise_variance
+                )
             else:
                 K_XZ = gram_matrix(self._k_obs, self.X, Z)
                 K_ZZ = gram_matrix(self._k_obs, Z, Z)
@@ -347,12 +356,22 @@ class IterativeGPRegressor:
         return self._host_matvec, M_apply
 
     def _precond_block_fn(self, x0, x1):
-        """Kernel block for the hybrid preconditioner build.  Uses the
-        COMPENSATED streaming evaluation when the kernel has term specs
-        and compensation is on: at N=1e5 the plain-f32 coherent Gram
-        error (~3.3e-7*n*k0) exceeds the floored damping delta, so an
-        uncompensated build would re-impose the tail it is meant to
-        resolve (the build costs n*m pairs once — negligible)."""
+        """SCHUR-OPERATOR kernel block for the hybrid/device
+        preconditioner build.  Two load-bearing details:
+
+        - COMPENSATED streaming evaluation when the kernel has term
+          specs and compensation is on: at N=1e5 the plain-f32 coherent
+          Gram error (~3.3e-7*n*k0) exceeds the floored damping delta,
+          so an uncompensated build would re-impose the tail it is meant
+          to resolve (the build costs n*m pairs once — negligible).
+        - With ANCHORS, the CG operator is the Schur complement
+          ``S = A22 - W A11^{-1} W^T``, and a preconditioner built from
+          ``A22`` alone leaves ~n1 badly-mapped directions (measured
+          round 5: 1038 vs tens of iterations on a (200,100) grid with
+          96 anchors).  ``S``'s blocks are themselves a PSD kernel (the
+          anchor-posterior covariance), so the build just subtracts the
+          same correction.
+        """
         if self._obs_spec is not None and jax.default_backend() == "tpu":
             from ..ops.pallas_gram import pallas_gram
 
@@ -363,8 +382,20 @@ class IterativeGPRegressor:
                 x1.reshape(x1.shape[0], -1),
                 compensated=self.compensated,
             )
-            return scale * out if scale != 1.0 else out
-        return gram_matrix(self._k_obs, x0, x1)
+            out = scale * out if scale != 1.0 else out
+        else:
+            out = gram_matrix(self._k_obs, x0, x1)
+        if self._anchors is not None:
+            a = self._anchors
+            hi = jax.lax.Precision.HIGHEST
+            U0 = gram_matrix(a["k_Lk"], x0, a["X1"])
+            U1 = gram_matrix(a["k_Lk"], x1, a["X1"])
+            out = out - jnp.matmul(
+                U0,
+                jax.scipy.linalg.cho_solve((a["chol1"], True), U1.T),
+                precision=hi,
+            )
+        return out
 
     def _gram_matvec_raw(self, v: jnp.ndarray) -> jnp.ndarray:
         """Gram matvec WITHOUT the noise shift (pcg_ff applies sigma^2

@@ -285,8 +285,30 @@ class DistributedIterativeGPRegressor:
             hi = jax.lax.Precision.HIGHEST
             K_zz = pallas_gram(terms, zz, zz)
             eps = jnp.finfo(dtype).eps
-            stab = eps * jnp.trace(K_zz) * m
-            L_zz = jnp.linalg.cholesky(K_zz + stab * jnp.eye(m, dtype=dtype))
+            # Floored stabilizer (round 5, mirrors
+            # ops/linalg/pcg.nystrom_preconditioner_device): the legacy
+            # eps*trace*m ridge is ~m/8 times larger and truncates the
+            # preconditioner's resolved spectrum (326 vs 53 iterations
+            # at N=1e5 on the single-chip path).  lambda_1 by in-trace
+            # power iteration; the f32 Cholesky at cond ~ 1/(8 eps32)
+            # can round a late pivot negative, so a x100-jitter fallback
+            # factor is selected when the first one NaNs (no eager retry
+            # inside shard_map).
+            v0 = jnp.ones((m,), dtype) / jnp.sqrt(jnp.asarray(m, dtype))
+
+            def _pow(_, v):
+                w = jnp.matmul(K_zz, v, precision=hi)
+                return w / jnp.maximum(jnp.linalg.norm(w), 1e-30)
+
+            lam1 = jnp.linalg.norm(
+                jnp.matmul(K_zz, jax.lax.fori_loop(0, 16, _pow, v0),
+                           precision=hi)
+            )
+            stab = 8.0 * eps * lam1
+            eye_m = jnp.eye(m, dtype=dtype)
+            L1 = jnp.linalg.cholesky(K_zz + stab * eye_m)
+            L2 = jnp.linalg.cholesky(K_zz + (100.0 * stab) * eye_m)
+            L_zz = jnp.where(jnp.any(jnp.isnan(L1)), L2, L1)
             K_xz_loc = pallas_gram(terms, x_loc, zz) * mask_loc[:, None]
             B_loc = jax.lax.linalg.triangular_solve(
                 L_zz, K_xz_loc, left_side=False, lower=True, transpose_a=True
@@ -294,9 +316,15 @@ class DistributedIterativeGPRegressor:
             C0 = jax.lax.psum(jnp.matmul(B_loc.T, B_loc, precision=hi), axes)
             C0 = 0.5 * (C0 + C0.T)
             lam = jnp.linalg.eigvalsh(C0)
-            lam_m = jnp.clip(lam[0], 100.0 * eps * jnp.maximum(lam[-1], 0.0), None)
+            # Delta floor at 8*eps*lambda_1(C0) — the f32 Woodbury apply's
+            # cancellation limit (see nystrom_preconditioner_device).
+            lam_m = jnp.clip(lam[0], 8.0 * eps * jnp.maximum(lam[-1], 0.0), None)
             delta = lam_m + sigma_sq
-            chol_C = jnp.linalg.cholesky(C0 + delta * jnp.eye(m, dtype=dtype))
+            C1 = jnp.linalg.cholesky(C0 + delta * jnp.eye(m, dtype=dtype))
+            bad = jnp.any(jnp.isnan(C1))
+            delta = jnp.where(bad, 10.0 * delta, delta)
+            C2 = jnp.linalg.cholesky(C0 + delta * jnp.eye(m, dtype=dtype))
+            chol_C = jnp.where(bad, C2, C1)
             return B_loc, chol_C, delta[None].astype(dtype)
 
         self._nys = build(jnp.asarray(x_pad, dtype), z)

@@ -685,6 +685,65 @@ def _build_banded_matvec(terms, ndims, n0p, n1p, tile0, tile1, band, r, dtype_na
     )
 
 
+def _banded_panel_body(terms, ndims, compensated, x0_ref, x1p_ref, vp_ref, out_ref):
+    # STATIC-panel banded body (round 5): the js-scalar-prefetch variant
+    # is tile-invariant at ~3x of dense pair throughput because its
+    # dynamic block indices defeat Mosaic's multi-buffered DMA
+    # pipelining (RESULTS.md tile sweep).  Here the per-row-tile column
+    # panels are pre-gathered on the host/device into contiguous arrays,
+    # so every BlockSpec index map is static.  Single-RHS only: the
+    # reduction is a VPU lane-sum against the lane-major v row (no
+    # 128-padded MXU dot), and the (tile0, 128) output accumulates the
+    # partial replicated across lanes (column 0 is read back).
+    import jax.experimental.pallas as pl
+
+    j = pl.program_id(1)
+    groups = _collapse_terms(tuple(terms))
+    v_row = vp_ref[0, 0, :][None, :]  # (1, tile1) lane-major
+    if compensated:
+        acc_hi, acc_lo = _eval_groups_ff(
+            groups,
+            lambda i: (x0_ref[i, :, 0][:, None], x1p_ref[0, i, 0, :][None, :]),
+        )
+        partial = jnp.sum(acc_hi * v_row, axis=1) + jnp.sum(
+            acc_lo * v_row, axis=1
+        )
+    else:
+        acc = _eval_groups(
+            groups,
+            lambda i: x0_ref[i, :, 0][:, None] - x1p_ref[0, i, 0, :][None, :],
+        )
+        partial = jnp.sum(acc * v_row, axis=1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:, :] = jnp.broadcast_to(partial[:, None], out_ref.shape)
+
+    @pl.when(j > 0)
+    def _():
+        out_ref[:, :] += jnp.broadcast_to(partial[:, None], out_ref.shape)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_banded_panel_matvec(terms, ndims, n0p, ntiles0, band, tile0, tile1, dtype_name, interpret, compensated=False):
+    from jax.experimental import pallas as pl
+
+    dtype = jnp.dtype(dtype_name)
+    body = functools.partial(_banded_panel_body, terms, ndims, compensated)
+    return pl.pallas_call(
+        body,
+        out_shape=jax.ShapeDtypeStruct((n0p, 128), dtype),
+        grid=(ntiles0, band),
+        in_specs=[
+            pl.BlockSpec((ndims, tile0, 128), lambda i, j: (0, i, 0)),
+            pl.BlockSpec((1, ndims, 8, tile1), lambda i, j: (i, 0, 0, j)),
+            pl.BlockSpec((1, 8, tile1), lambda i, j: (i, 0, j)),
+        ],
+        out_specs=pl.BlockSpec((tile0, 128), lambda i, j: (i, 0)),
+        interpret=interpret,
+    )
+
+
 def band_windows(X0s, n0_real, c1_sorted, radius, tile0, tile1, n0p):
     """Per-row-tile column-tile windows ``[j_lo, j_hi]`` covering all
     real column points within ``radius`` of the tile's rows.  ``X0s``:
@@ -758,7 +817,17 @@ def make_banded_matvec(spec, X0, X1, *, radius: float | None = None, interpret: 
     js_dev = jnp.asarray(j_start)
     perm1_dev = jnp.asarray(perm1)
     inv0_dev = jnp.asarray(inv0)
+    ntiles0 = n0p // tile0
+    panel_w = band * tile1
+    # Static per-row-tile column panels (the r=1 fast path): gather
+    # indices into the PADDED SORTED column layout.
+    panel_cols = (
+        j_start[:, None].astype(np.int64) * tile1
+        + np.arange(panel_w, dtype=np.int64)[None, :]
+    )
+    panel_cols_dev = jnp.asarray(panel_cols.reshape(-1), jnp.int32)
     _packs: dict = {}
+    _panel_packs: dict = {}
 
     def _packed(dt):
         # The cache holds NUMPY arrays and converts at USE time: this
@@ -777,6 +846,22 @@ def make_banded_matvec(spec, X0, X1, *, radius: float | None = None, interpret: 
         a0, a1 = _packs[key]
         return jnp.asarray(a0), jnp.asarray(a1)
 
+    def _packed_panels(dt):
+        # (ntiles0, d, 8, panel_w) static x1 panel array (numpy-cached,
+        # converted at use time — see _packed).
+        key = jnp.dtype(dt).name
+        if key not in _panel_packs:
+            a0, a1 = _packs[key] if key in _packs else (None, None)
+            if a1 is None:
+                dnp = np.dtype(key)
+                a1 = np.zeros((d, 8, n1p), dnp)
+                a1[:, 0, :n1] = X1s.T
+            panels = a1[:, :, panel_cols]  # (d, 8, ntiles0, panel_w)
+            _panel_packs[key] = np.ascontiguousarray(
+                np.transpose(panels, (2, 0, 1, 3))
+            )
+        return jnp.asarray(_panel_packs[key])
+
     def matvec(v):
         v = jnp.asarray(v)
         vector = v.ndim == 1
@@ -786,10 +871,28 @@ def make_banded_matvec(spec, X0, X1, *, radius: float | None = None, interpret: 
         # ``v`` against f32 default points computes in f64 rather than
         # silently downcasting.
         dt = jnp.result_type(dtype, v.dtype)
-        X0p, X1p = _packed(dt)
         r = v.shape[1]
-        rp = _round_up(r, 128)
         vs = jnp.take(v.astype(dt), perm1_dev, axis=0)
+        if vector:
+            # STATIC-panel VPU path (round 5): no scalar prefetch, so
+            # Mosaic pipelines the panel/v streams — the js variant is
+            # pinned at ~3x of dense pair throughput by its dynamic
+            # block indexing (RESULTS.md tile sweep).
+            X0p, _ = _packed(dt)
+            X1pan = _packed_panels(dt)
+            v_pad = jnp.zeros((n1p,), dt).at[:n1].set(vs[:, 0])
+            vpan = v_pad[panel_cols_dev].reshape(ntiles0, panel_w)
+            vp = jnp.zeros((ntiles0, 8, panel_w), dt).at[:, 0, :].set(vpan)
+            fn = _build_banded_panel_matvec(
+                terms, d, n0p, ntiles0, band, tile0, tile1,
+                jnp.dtype(dt).name, interpret, bool(compensated),
+            )
+            out = fn(X0p, X1pan, vp)[:n0, 0]
+            if scale != 1.0:
+                out = scale * out
+            return jnp.take(out, inv0_dev, axis=0)
+        X0p, X1p = _packed(dt)
+        rp = _round_up(r, 128)
         vp = jnp.zeros((n1p, rp), dt).at[:n1, :r].set(vs)
         fn = _build_banded_matvec(
             terms, d, n0p, n1p, tile0, tile1, band, rp,
@@ -798,8 +901,7 @@ def make_banded_matvec(spec, X0, X1, *, radius: float | None = None, interpret: 
         out = fn(js_dev, X0p, X1p, vp)[:n0, :r]
         if scale != 1.0:
             out = scale * out
-        out = jnp.take(out, inv0_dev, axis=0)
-        return out[:, 0] if vector else out
+        return jnp.take(out, inv0_dev, axis=0)
 
     matvec.band_tiles = band
     matvec.total_tiles = ntiles1

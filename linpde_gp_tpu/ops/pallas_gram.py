@@ -807,6 +807,13 @@ def make_banded_matvec(spec, X0, X1, *, radius: float | None = None, interpret: 
 
     tile0 = min(config.banded_tile0 or config.matvec_tile, _round_up(n0, 8))
     tile1 = min(config.banded_tile1 or config.matvec_tile, _round_up(n1, 128))
+    if compensated:
+        # The ff tile body holds ~2x the (tile0, tile1) temporaries and
+        # the panel kernel adds a (tile0, 128) output broadcast: tile0
+        # beyond 512 overflows the ~16 MB scoped VMEM (chip-measured:
+        # OOM by 916 KB at (1024, 256) compensated).  Performance is
+        # tile-invariant here anyway (RESULTS.md sweep).
+        tile0 = min(tile0, 512)
     n0p = _round_up(n0, tile0)
     n1p = _round_up(n1, tile1)
     ntiles1 = n1p // tile1

@@ -180,6 +180,16 @@ def main():
     _log(f"steady-state conditioning: {t_steady:.2f} s, "
          f"iters={iters2} relres={relres2:.3e}")
 
+    # Repeated-solve path: same geometry, new data — every factor and
+    # compiled program is reused, so this is one CG solve's wall-clock
+    # (the production serving cost per new observation vector).
+    t0 = time.perf_counter()
+    _ = np.asarray(reg2.refit(Y_pde, anchor_Y=Y_anchor).representer_weights[:4])
+    t_refit = time.perf_counter() - t0
+    iters3, relres3 = reg2.solve_info
+    _log(f"refit (cached factors/programs): {t_refit:.2f} s, "
+         f"iters={iters3} relres={relres3:.3e}")
+
     # Posterior accuracy vs the analytic solution on held-out points.
     rng = np.random.default_rng(7)
     Xq = np.stack(
@@ -201,6 +211,7 @@ def main():
         "noise_variance": noise_variance,
         "condition_first_s": round(t_first, 3),
         "condition_steady_s": round(t_steady, 3),
+        "refit_s": round(t_refit, 3),
         "pcg_iters": int(iters2),
         "pcg_relres": float(relres2),
         "posterior_eval_s": round(t_eval, 3),

@@ -475,6 +475,23 @@ class IterativeGPRegressor:
         """``(iterations, relative_residual)`` of the most recent solve."""
         return self._solve_info
 
+    def refit(self, Y, anchor_Y=None) -> "IterativeGPRegressor":
+        """Re-condition on NEW observation values, reusing every cached
+        factor and compiled program (Nyström preconditioner, anchor
+        Cholesky, banded schedule, ff CG step programs): the production
+        repeated-solve path — same X/L/noise geometry, new data.  The
+        preconditioner depends only on the geometry, so a refit costs
+        one CG solve."""
+        self.Y = jnp.asarray(Y).reshape(-1)
+        if anchor_Y is not None:
+            if self._anchors is None:
+                raise ValueError("regressor was built without anchors")
+            self._anchors["Y1"] = jnp.asarray(anchor_Y).reshape(-1)
+        self._weights = None
+        self._anchor_weights = None
+        self._solve_info = None
+        return self
+
     @property
     def representer_weights(self) -> jnp.ndarray:
         if self._weights is None:

@@ -282,6 +282,36 @@ def test_regressor_device_cg_hybrid_matches_default():
     assert np.max(np.abs(v_new - v_ref)) <= 1e-5 * vscale
 
 
+def test_regressor_refit_matches_fresh():
+    """refit(Y') reuses cached factors/programs and must equal a fresh
+    regressor on the new data (anchored path included)."""
+    import linpde_gp_tpu as lgt
+    from linpde_gp_tpu.models.iterative import IterativeGPRegressor
+    from linpde_gp_tpu.ops import diffops
+
+    prior = lgt.GaussianProcess(
+        lgt.functions.Zero(()), 1.0 * lgt.kernels.Matern((), nu=2.5)
+    )
+    D = -1.0 * diffops.Laplacian(())
+    rng = np.random.default_rng(5)
+    X = np.sort(rng.uniform(-1, 1, 200))
+    Xa = np.asarray([-1.0, 1.0])
+    kw = dict(L=D, noise_variance=1e-6, tol=1e-11, maxiter=2000,
+              precond_rank=48, anchor_X=Xa, anchor_noise=1e-10)
+    Y1, Ya1 = np.sin(2 * X), np.asarray([0.3, -0.1])
+    Y2, Ya2 = np.cos(3 * X), np.asarray([-0.2, 0.4])
+    reg = IterativeGPRegressor(prior, X, Y1, anchor_Y=Ya1, **kw)
+    xq = np.linspace(-1, 1, 33)
+    _ = np.asarray(reg.mean(jnp.asarray(xq)))
+    m_refit = np.asarray(
+        reg.refit(Y2, anchor_Y=Ya2).mean(jnp.asarray(xq))
+    )
+    fresh = IterativeGPRegressor(prior, X, Y2, anchor_Y=Ya2, **kw)
+    m_fresh = np.asarray(fresh.mean(jnp.asarray(xq)))
+    np.testing.assert_allclose(m_refit, m_fresh, rtol=0,
+                               atol=1e-9 * max(np.abs(m_fresh).max(), 1.0))
+
+
 def test_hybrid_build_survives_singular_kzz():
     """Wide smooth-kernel landmark Grams are numerically singular; the
     host factorization must escalate jitter rather than fail."""

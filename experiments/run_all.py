@@ -57,8 +57,19 @@ def main():
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "RESULTS.md",
     )
+    # PRESERVE the chip-measured sections (anything from the first
+    # "# Round-N TPU measurements" heading on): this runner only owns
+    # the CPU experiment block at the top.
+    tail = ""
+    if os.path.exists(path):
+        existing = open(path).read()
+        idx = existing.find("# Round-")
+        if idx >= 0:
+            tail = existing[idx:]
     with open(path, "w") as fh:
         fh.write("\n".join(out))
+        if tail:
+            fh.write("\n" + tail)
     print(f"wrote {path}")
 
 

@@ -283,6 +283,26 @@ class IterativeGPRegressor:
         self._solve_info = None
         self._host_matvec = None
 
+    # -- checkpoint/resume (utils/serialization.save_posterior) ---------
+    # The solved state (representer weights, anchor weights, Nyström
+    # factors) and all geometry pickle; compiled programs and the banded
+    # closure are process-local and rebuilt on load.
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["_had_banded"] = self._banded is not None
+        for k in ("_host_matvec", "_ff_programs", "_banded"):
+            state[k] = None
+        return state
+
+    def __setstate__(self, state):
+        had_banded = state.pop("_had_banded", False)
+        self.__dict__.update(state)
+        if had_banded and self._obs_spec is not None:
+            x2d = np.asarray(self.X.reshape(self.X.shape[0], -1))
+            self._banded = make_banded_matvec(
+                self._obs_spec, x2d, x2d, compensated=self.compensated
+            )
+
     # ------------------------------------------------------------------
     def _gram_matvec(self, v: jnp.ndarray) -> jnp.ndarray:
         return self._gram_matvec_raw(v) + self.noise_variance * v

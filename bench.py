@@ -205,6 +205,10 @@ def _accelerator_run(k_hh, k_cross, X, Y, Xq, *, noise_rel, rank, tol, maxiter,
             chunk=int(os.environ.get(
                 "BENCH_CHUNK", max(2048, min(16384, int(6e11 // max(len(idx), 1) ** 2)))
             )),
+            # Host-side scalar only (device programs unchanged): the
+            # kappa-vs-apply-noise tradeoff knob, see
+            # nystrom_preconditioner_device.
+            f32_floor=float(os.environ.get("BENCH_FLOOR", 8.0)),
         )
         res = pcg_ff(
             ff_matvec, ff_precond, x, (M.B, M.chol_C, M.delta),

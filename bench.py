@@ -207,9 +207,10 @@ def _accelerator_run(k_hh, k_cross, X, Y, Xq, *, noise_rel, rank, tol, maxiter,
             )),
             # Host-side scalar only (device programs unchanged): the
             # kappa-vs-apply-noise tradeoff knob, see
-            # nystrom_preconditioner_device.  c=4 measured 87.8 s / 49
-            # iters vs 94.5 s / 53 at c=8 (both relres ~8e-6, chip,
-            # deterministic inputs).
+            # nystrom_preconditioner_device.  Chip-probed: c=4 measures
+            # 87.8 s / 49 iters at N=1e5 vs 94.5 s / 53 at c=8; at
+            # n=32768 c=8 is better (33 vs 49) — size-dependent, so the
+            # default is tuned for the N=1e5 north-star run.
             f32_floor=float(os.environ.get("BENCH_FLOOR", 4.0)),
         )
         res = pcg_ff(

@@ -673,6 +673,20 @@ class NystromPreconditioner(NamedTuple):
     chol_C: jnp.ndarray  # (m, m) lower Cholesky of δI + BᵀB
     delta: jnp.ndarray  # λ_m + σ²
 
+    def _solve_core(self, br, chol_C, delta):
+        """``(C0 + delta I)^{-1} br`` by one f32 ``cho_solve``.
+
+        Round-5 probe, recorded for the next builder: TWO f32
+        iterative-refinement sweeps here (four O(m^2) triangular
+        products each) were chip-tested against the hypothesis that the
+        f32 solve error at cond ~ 1/(c*eps32) drives the CG iteration
+        count — and came out NEUTRAL: 55 vs 53 iterations at
+        N=1e5/c=8, no change at n=32768.  The apply noise that the
+        host-f64 simulation shows binding (RESULTS.md) is apparently
+        dominated by the surrounding GEMVs, not the m x m solve, so the
+        plain solve is kept."""
+        return jax.scipy.linalg.cho_solve((chol_C, True), br)
+
     def __call__(self, r: jnp.ndarray) -> jnp.ndarray:
         # Apply in the RESIDUAL's precision (mixed-precision CG passes
         # higher-precision vectors against float32 factors — same lesson
@@ -709,14 +723,14 @@ class NystromPreconditioner(NamedTuple):
                 jnp.zeros((m, rr.shape[1]), rr.dtype),
                 (Bc, rc),
             )[0]
-            w = jax.scipy.linalg.cho_solve((chol_C, True), br)
+            w = self._solve_core(br, chol_C, delta)
             bw = jax.lax.map(
                 lambda b: jnp.matmul(b, w, precision=hi), Bc
             ).reshape(nc * chunk, rr.shape[1])[:n]
             out = (rr - bw) / delta
         else:
             br = jnp.matmul(B.T, rr, precision=hi)
-            w = jax.scipy.linalg.cho_solve((chol_C, True), br)
+            w = self._solve_core(br, chol_C, delta)
             out = (rr - jnp.matmul(B, w, precision=hi)) / delta
         return out[:, 0] if vector else out
 
